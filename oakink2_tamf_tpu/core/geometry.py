@@ -1,0 +1,169 @@
+"""Geometry ops: vertex normals, signed nearest-neighbor distances (chamfer).
+
+TPU-native replacements for the reference's native deps:
+- pytorch3d `Meshes.verts_normals_packed` (extra_loss.py:113-116) -> `vertex_normals`
+  via a segment-sum scatter, fully jit/vmap-able.
+- the CUDA `chamfer_distance` extension wrapped by
+  model/loss/chamfer_distance.py:point2point_signed -> `point2point_signed`,
+  expressed so the pairwise-distance reduction rides the MXU:
+  |x - y|^2 = |x|^2 + |y|^2 - 2 x.y, streamed in chunks with a running min so
+  the full (P1 x P2) matrix never materializes in HBM for big P2.
+
+A fused Pallas kernel for the hot h2o path lives in ops/chamfer_pallas.py; this
+module is the reference XLA implementation and the fallback on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
+    """Per-vertex normals: area-weighted sum of incident face normals, normalized.
+
+    verts [..., V, 3], faces [F, 3] int -> [..., V, 3]
+
+    Matches pytorch3d semantics (face-area weighting via unnormalized cross
+    products) used by the reference losses.
+    """
+    v0 = jnp.take(verts, faces[:, 0], axis=-2)
+    v1 = jnp.take(verts, faces[:, 1], axis=-2)
+    v2 = jnp.take(verts, faces[:, 2], axis=-2)
+    fn = jnp.cross(v1 - v0, v2 - v0)  # [..., F, 3] area-weighted face normals
+
+    num_v = verts.shape[-2]
+
+    def scatter(one_fn):
+        acc = jnp.zeros((num_v, 3), dtype=one_fn.dtype)
+        for i in range(3):
+            acc = acc.at[faces[:, i]].add(one_fn)
+        return acc
+
+    lead = verts.shape[:-2]
+    flat_fn = fn.reshape((-1,) + fn.shape[-2:])
+    acc = jax.vmap(scatter)(flat_fn).reshape(lead + (num_v, 3))
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.maximum(norm, 1e-12)
+
+
+def _sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise squared distances [P1, 3] x [P2, 3] -> [P1, P2] via the MXU."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [P1, 1]
+    y2 = jnp.sum(y * y, axis=-1)[None, :]  # [1, P2]
+    xy = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)  # [P1, P2]
+    return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+
+
+def nearest_neighbor(
+    x: jax.Array, y: jax.Array, y_valid: jax.Array | None = None, chunk: int = 2048
+) -> tuple[jax.Array, jax.Array]:
+    """For each point in x [P1,3], the (sq-dist, index) of its nearest point in
+    y [P2,3]. Streams y in `chunk`-sized tiles with a running min so HBM holds
+    only [P1, chunk] at a time. y_valid [P2] optionally masks padded points.
+    """
+    p2 = y.shape[0]
+    pad = (-p2) % chunk
+    if pad:
+        y = jnp.concatenate([y, jnp.full((pad, 3), 1e9, y.dtype)], axis=0)
+        if y_valid is not None:
+            y_valid = jnp.concatenate([y_valid, jnp.zeros((pad,), y_valid.dtype)])
+    n_chunks = y.shape[0] // chunk
+    y_chunks = y.reshape((n_chunks, chunk, 3))
+    valid_chunks = (
+        y_valid.reshape((n_chunks, chunk)) if y_valid is not None else None
+    )
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        if valid_chunks is not None:
+            yc, vc, off = inp
+        else:
+            (yc, off) = inp
+            vc = None
+        d = _sq_dists(x, yc)  # [P1, chunk]
+        if vc is not None:
+            d = jnp.where(vc[None, :], d, jnp.inf)
+        i = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        gidx = off * chunk + i
+        upd = dmin < best_d
+        return (jnp.where(upd, dmin, best_d), jnp.where(upd, gidx, best_i)), None
+
+    init = (
+        jnp.full((x.shape[0],), jnp.inf, x.dtype),
+        jnp.zeros((x.shape[0],), jnp.int32),
+    )
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32)
+    xs = (y_chunks, valid_chunks, offsets) if valid_chunks is not None else (y_chunks, offsets)
+    (best_d, best_i), _ = jax.lax.scan(body, init, xs)
+    return best_d, best_i
+
+
+def point2point_signed(
+    x: jax.Array,
+    y: jax.Array,
+    x_normals: jax.Array | None = None,
+    y_normals: jax.Array | None = None,
+    y_valid: jax.Array | None = None,
+    chunk: int = 2048,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Signed distances between two point clouds, matching the reference
+    model/loss/chamfer_distance.py:point2point_signed.
+
+    Args:
+      x: [N, P1, 3] (hand verts), y: [N, P2, 3] (object points)
+      x_normals: [N, P1, 3] — signs y2x by (normal_of_nearest_x . offset)
+      y_normals: [N, P2, 3] — signs x2y likewise
+      y_valid:   [N, P2] bool — mask for padded object points (TPU static
+                 shapes replace the reference's ragged per-object lists)
+
+    Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]) where
+    yidx_near[i] is the index of the x-vertex closest to y_i.
+    """
+
+    def single(xi, yi, xn, yn, yv):
+        d_x2y, idx_x2y = nearest_neighbor(xi, yi, y_valid=yv, chunk=chunk)
+        d_y2x, idx_y2x = nearest_neighbor(yi, xi, chunk=chunk)
+
+        x_near = jnp.take(yi, idx_x2y, axis=0)  # nearest y for each x
+        y_near = jnp.take(xi, idx_y2x, axis=0)  # nearest x for each y
+        x2y = xi - x_near
+        y2x = yi - y_near
+
+        x2y_dist = jnp.sqrt(jnp.maximum(d_x2y, 0.0))
+        y2x_dist = jnp.sqrt(jnp.maximum(d_y2x, 0.0))
+
+        if xn is not None:
+            nn = jnp.take(xn, idx_y2x, axis=0)
+            sign = jnp.sign(jnp.sum(nn * y2x, axis=-1))
+            y2x_signed = y2x_dist * sign
+        else:
+            y2x_signed = y2x_dist
+        if yn is not None:
+            nn = jnp.take(yn, idx_x2y, axis=0)
+            sign = jnp.sign(jnp.sum(nn * x2y, axis=-1))
+            x2y_signed = x2y_dist * sign
+        else:
+            x2y_signed = x2y_dist
+        if yv is not None:
+            y2x_signed = jnp.where(yv, y2x_signed, 0.0)
+        return y2x_signed, x2y_signed, idx_y2x
+
+    in_axes = (0, 0, None if x_normals is None else 0, None if y_normals is None else 0, None if y_valid is None else 0)
+    return jax.vmap(single, in_axes=in_axes)(x, y, x_normals, y_normals, y_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def min_cdist(hv: jax.Array, pc: jax.Array, chunk: int = 4096) -> jax.Array:
+    """Per-frame min distance from any hand vert to any object point.
+    hv [T, Vh, 3], pc [T, Vo, 3] -> [T]. (CR metric core; reference
+    compute_score_cr.py:140-149 used torch.cdist + min.)"""
+
+    def single(h, p):
+        d, _ = nearest_neighbor(h, p, chunk=chunk)
+        return jnp.sqrt(jnp.maximum(jnp.min(d), 0.0))
+
+    return jax.vmap(single)(hv, pc)
