@@ -1,0 +1,245 @@
+"""MF-MDM R: the deterministic refiner (reference model/segment_refine_model.py).
+
+Takes G's sample (or a Gaussian-perturbed GT), conditions on a hand-to-object
+signed-distance feature, and outputs a residual pose correction.
+
+Split into two layers:
+- `SegmentRefineNet` (flax): the pure network. Conditioning tokens
+  [hand_side, shape, obj_embed] (no text/timestep; ref :174-186), a 3-stream
+  input merge (pose + obj traj + h2o feature; ref :80-84, :207-208), trunk,
+  residual output `x_in + head` (ref :216).
+- `refine_forward` (function): the full reference forward including geometry —
+  MANO recovery and signed h2o distances for sample/refined/target, all as
+  vmapped static-shape JAX (replacing the per-batch-item python loops at
+  ref :107-168) — returning the same result-dict keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..core import geometry as G
+from ..core import mano as M
+from ..core import transforms as T
+from .trunk import (
+    HandShapeProcess,
+    HandSideProcess,
+    InputMerge,
+    InputProcess,
+    ObjectEmbedProcess,
+    ObjectInputProcess,
+    OutputProcess,
+    PositionalEncoding,
+    TransformerEncoder,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    input_dim: int = 99
+    obj_input_dim: int = 9
+    hand_shape_dim: int = 10
+    obj_embed_dim: int = 768
+    latent_dim: int = 256
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4
+    dropout: float = 0.1
+    activation: str = "gelu"
+    n_hand_verts: int = 778
+    remat: bool = False
+
+
+NUM_COND_TOKENS_R = 3
+
+
+class SegmentRefineNet(nn.Module):
+    cfg: RefineConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x_in: jax.Array,  # [bs, L, 99] sample pose_repr
+        h2o_dist: jax.Array,  # [bs, L, 778] signed hand-to-object distances
+        cond: dict[str, Any],
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+
+        emb_handside = HandSideProcess(cfg.latent_dim, name="hand_side_process")(cond["hand_side"])
+        emb_shape = HandShapeProcess(cfg.latent_dim, name="hand_shape_process")(cond["shape"])
+        emb_obj = ObjectEmbedProcess(cfg.latent_dim, name="obj_embed_process")(
+            cond["obj_embedding"], cond["obj_mask"]
+        )
+        emb = jnp.stack([emb_handside, emb_shape, emb_obj], axis=1)
+        emb = jnp.nan_to_num(emb)
+
+        hand_traj = InputProcess(cfg.latent_dim, name="input_process")(x_in)
+        object_input = ObjectInputProcess(cfg.latent_dim, name="obj_input_process")(
+            cond["obj_traj"], cond["obj_mask"]
+        )
+        h2o_input = InputProcess(cfg.latent_dim, name="h2o_dist_input_process")(h2o_dist)
+
+        merged = InputMerge(cfg.latent_dim, name="input_merge")(hand_traj, object_input, h2o_input)
+        merged = jnp.nan_to_num(merged)
+
+        xseq = jnp.concatenate([emb, merged], axis=1)
+        xseq = PositionalEncoding(cfg.latent_dim, cfg.dropout, name="sequence_pos_encoder")(
+            xseq, deterministic=deterministic
+        )
+        out = TransformerEncoder(
+            d_model=cfg.latent_dim,
+            num_heads=cfg.num_heads,
+            ff_size=cfg.ff_size,
+            num_layers=cfg.num_layers,
+            dropout=cfg.dropout,
+            activation=cfg.activation,
+            remat=cfg.remat,
+            name="seqTransEncoder",
+        )(xseq, deterministic=deterministic)
+        out = out[:, NUM_COND_TOKENS_R:]
+        out = OutputProcess(cfg.input_dim, name="output_process")(out)
+        return jnp.nan_to_num(x_in + out)  # residual (ref :216)
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers (vmapped; replace ref per-item loops)
+# ---------------------------------------------------------------------------
+
+
+def stack_mano_models(rh: M.ManoModel, lh: M.ManoModel) -> M.ManoModel:
+    """Stack both hand models on a leading side axis (0=rh, 1=lh) so the per-
+    sample hand side becomes a gather instead of a python branch."""
+    return jax.tree.map(lambda a, b: jnp.stack([a, b], axis=0), rh, lh)
+
+
+def batch_recover_mano(
+    mano_stack: M.ManoModel,
+    pose_repr: jax.Array,  # [bs, L, 99]
+    shape: jax.Array,  # [bs, L, 10]
+    hand_side: jax.Array,  # [bs] int (0=rh, 1=lh)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (verts [bs,L,778,3], joints [bs,L,21,3], normals [bs,L,778,3]).
+
+    Parity with ref :107-140 (per-item loop + pytorch3d normals)."""
+
+    def single(pr, sh, side):
+        model = jax.tree.map(lambda a: a[side], mano_stack)
+        verts, joints = M.recover_mano_from_pose_repr(model, pr, sh)
+        normals = G.vertex_normals(verts, model.faces)
+        return verts, joints, normals
+
+    return jax.vmap(single)(pose_repr, shape, hand_side)
+
+
+def multi_object_h2o_dist(
+    hand_verts: jax.Array,  # [bs, L, 778, 3]
+    hand_normals: jax.Array,  # [bs, L, 778, 3]
+    obj_traj: jax.Array,  # [bs, nobj, L, 9] tslrot6d
+    obj_points: jax.Array,  # [bs, nobj, P, 3] canonical point clouds
+    obj_mask: jax.Array,  # [bs, nobj] bool
+    chunk: int = 2048,
+) -> jax.Array:
+    """Signed hand->object distances [bs, L, 778] (ref :142-168).
+
+    Each object's canonical cloud is moved by its per-frame rigid transform,
+    all objects concatenate on the point axis (static nobj: padded objects are
+    masked out of the nearest-neighbor search), then one signed point2point.
+    """
+    bs, L, nhv, _ = hand_verts.shape
+    nobj, P = obj_points.shape[1], obj_points.shape[2]
+
+    transf = T.tslrot6d_to_transf(obj_traj)  # [bs, nobj, L, 4, 4]
+    # move canonical points (broadcast over L): [bs, nobj, L, P, 3]
+    moved = T.transf_point_array(transf, obj_points[:, :, None])
+    # -> [bs, L, nobj*P, 3]
+    moved = jnp.swapaxes(moved, 1, 2).reshape(bs, L, nobj * P, 3)
+    valid = jnp.repeat(obj_mask, P, axis=1)  # [bs, nobj*P]
+    valid = jnp.broadcast_to(valid[:, None, :], (bs, L, nobj * P))
+
+    flat_h = hand_verts.reshape(bs * L, nhv, 3)
+    flat_n = hand_normals.reshape(bs * L, nhv, 3)
+    flat_o = moved.reshape(bs * L, nobj * P, 3)
+    flat_v = valid.reshape(bs * L, nobj * P)
+    _, h2o, _ = G.point2point_signed(
+        flat_h, flat_o, x_normals=flat_n, y_valid=flat_v, chunk=chunk
+    )
+    return h2o.reshape(bs, L, nhv)
+
+
+def refine_forward(
+    net: SegmentRefineNet,
+    variables,
+    mano_stack: M.ManoModel,
+    batch: dict[str, Any],
+    *,
+    deterministic: bool = True,
+    with_target: bool = True,
+    chunk: int = 2048,
+    rngs=None,
+) -> dict[str, jax.Array]:
+    """Full reference forward (ref :170-250): geometry for the input sample,
+    the network's residual refinement, geometry for the refined output, and
+    (optionally) for the GT target — same output keys as the reference."""
+    x_in = batch["sample_pose_repr"]
+    cond = {
+        "hand_side": batch["hand_side"],
+        "shape": batch["shape"],
+        "obj_embedding": batch["obj_embedding"],
+        "obj_traj": batch["obj_traj"],
+        "obj_mask": batch["obj_mask"],
+    }
+    obj_pts = batch["obj_points"]
+
+    s_verts, s_joints, s_normals = batch_recover_mano(
+        mano_stack, x_in, batch["shape"], batch["hand_side"]
+    )
+    s_h2o = multi_object_h2o_dist(
+        s_verts, s_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
+    )
+
+    output = net.apply(
+        variables, x_in, s_h2o, cond, deterministic=deterministic, rngs=rngs
+    )
+
+    r_verts, r_joints, r_normals = batch_recover_mano(
+        mano_stack, output, batch["shape"], batch["hand_side"]
+    )
+    r_h2o = multi_object_h2o_dist(
+        r_verts, r_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
+    )
+
+    res = {
+        "refine_pose_repr": output,
+        "refine_hand_verts": r_verts,
+        "refine_hand_joints": r_joints,
+        "refine_hand_normals": r_normals,
+        "refine_h2o_dist": r_h2o,
+        "sample_hand_verts": s_verts,
+        "sample_hand_joints": s_joints,
+        "sample_hand_normals": s_normals,
+        "sample_h2o_dist": s_h2o,
+    }
+
+    if with_target:
+        t_verts, t_joints, t_normals = batch_recover_mano(
+            mano_stack, jax.lax.stop_gradient(batch["pose_repr"]), batch["shape"], batch["hand_side"]
+        )
+        t_h2o = multi_object_h2o_dist(
+            t_verts, t_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
+        )
+        res.update(
+            {
+                "target_hand_verts": jax.lax.stop_gradient(t_verts),
+                "target_hand_joints": jax.lax.stop_gradient(t_joints),
+                "target_hand_normals": jax.lax.stop_gradient(t_normals),
+                "target_h2o_dist": jax.lax.stop_gradient(t_h2o),
+            }
+        )
+    return res

@@ -1,0 +1,234 @@
+"""Shared transformer trunk + conditioning processors (flax.linen).
+
+The reference duplicates this trunk three times (interaction_segment_mdm.py,
+segment_refine_model.py, segment_encoder.py — each re-instantiates
+nn.TransformerEncoder + the same cond processors). Here it is one module set,
+shared by G / R / the FID encoder.
+
+Semantics matched to torch defaults used by the reference:
+- post-LN encoder layer (torch nn.TransformerEncoderLayer norm_first=False):
+  x = LN(x + Drop(SelfAttn(x))); x = LN(x + Drop(W2 Drop(act(W1 x))))
+- gelu activation, dropout on attention weights and residual branches
+- sinusoidal positional encoding added AFTER prefixing cond tokens
+  (interaction_segment_mdm.py:169-171) — position 0 is the first cond token
+- the reference attends over padded frames (src_key_padding_mask is commented
+  out, mdm.py:171); we keep that contract by default but expose `attn_mask`.
+
+Layout: batch-first [bs, seq, d] (the reference is seq-first [seq, bs, d]; the
+math is identical, batch-first maps better onto TPU tiling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def sinusoidal_pe_table(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """The classic sin/cos table (reference mdm.py:181-198). [max_len, d]."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(0, max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * (-np.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        pe = jnp.asarray(sinusoidal_pe_table(self.d_model, self.max_len))
+        x = x + pe[None, : x.shape[1], :]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class TimestepEmbedder(nn.Module):
+    """MLP over the sinusoidal PE row of each timestep (mdm.py:201-215)."""
+
+    latent_dim: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, timesteps: jax.Array) -> jax.Array:
+        """timesteps [bs] int -> [bs, d]."""
+        pe = jnp.asarray(sinusoidal_pe_table(self.latent_dim, self.max_len))
+        h = jnp.take(pe, timesteps, axis=0)
+        h = nn.Dense(self.latent_dim, name="time_embed_0")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.latent_dim, name="time_embed_1")(h)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer (post-LN, gelu) in flax."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, attn_mask: jax.Array | None = None, deterministic: bool = True
+    ) -> jax.Array:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            name="self_attn",
+        )(x, x, mask=attn_mask)
+        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+
+        act = nn.gelu if self.activation == "gelu" else nn.relu
+        h = nn.Dense(self.ff_size, name="linear1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout)(h, deterministic=deterministic))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    d_model: int
+    num_heads: int
+    ff_size: int
+    num_layers: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+    remat: bool = False  # jax.checkpoint each layer: FLOPs for HBM on long batches
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, attn_mask: jax.Array | None = None, deterministic: bool = True
+    ) -> jax.Array:
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        for i in range(self.num_layers):
+            x = layer_cls(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                ff_size=self.ff_size,
+                dropout=self.dropout,
+                activation=self.activation,
+                name=f"layer_{i}",
+            )(x, attn_mask=attn_mask, deterministic=deterministic)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Conditioning processors (mdm.py:218-303). All emit [bs, d] or [bs, seq, d].
+# ---------------------------------------------------------------------------
+
+
+class InputProcess(nn.Module):
+    """Pose stream embed: [bs, L, input_feats] -> [bs, L, d]."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.latent_dim, name="poseEmbedding")(x)
+
+
+class ObjectInputProcess(nn.Module):
+    """Object trajectory stream: [bs, nobj, L, 9] (+mask [bs, nobj]) -> [bs, L, d].
+
+    Per-object linear embed then mean over objects. The reference means over the
+    batch-padded nobj axis (mdm.py:241-248), which at inference (bs=1, no pad)
+    equals a masked mean over real objects — the semantics implemented here
+    (static max_nobj padding must not leak into the features).
+    """
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, obj_traj: jax.Array, obj_mask: jax.Array) -> jax.Array:
+        h = nn.Dense(self.latent_dim, name="poseEmbedding")(obj_traj)  # [bs, nobj, L, d]
+        m = obj_mask[:, :, None, None].astype(h.dtype)
+        denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        return jnp.sum(h * m, axis=1) / denom  # [bs, L, d]
+
+
+class ObjectEmbedProcess(nn.Module):
+    """Object embedding token: [bs, nobj, 768] (+mask) -> [bs, d].
+
+    Reference (mdm.py:251-263) means over objects FIRST, then applies the
+    linear; masked mean keeps pad rows out."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, obj_embedding: jax.Array, obj_mask: jax.Array) -> jax.Array:
+        m = obj_mask[:, :, None].astype(obj_embedding.dtype)
+        denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        avg = jnp.sum(obj_embedding * m, axis=1) / denom  # [bs, 768]
+        return nn.Dense(self.latent_dim, name="embedding")(avg)
+
+
+class HandSideProcess(nn.Module):
+    """hand_side [bs] int (0=rh, 1=lh) -> [bs, d].
+
+    Reference uses fixed (non-trained) buffers: rh = zeros, lh = e_0
+    (mdm.py:266-288). Exact same encoding, vectorized over the int id."""
+
+    latent_dim: int
+
+    def __call__(self, hand_side: jax.Array) -> jax.Array:
+        e0 = jnp.zeros((self.latent_dim,), jnp.float32).at[0].set(1.0)
+        return hand_side.astype(jnp.float32)[:, None] * e0[None, :]
+
+
+class HandShapeProcess(nn.Module):
+    """MANO betas over time: [bs, L, 10] -> mean over L -> linear -> [bs, d]."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, shape: jax.Array) -> jax.Array:
+        return nn.Dense(self.latent_dim, name="shape_embed")(jnp.mean(shape, axis=1))
+
+
+class OutputProcess(nn.Module):
+    """[bs, L, d] -> [bs, L, output_feats] linear head."""
+
+    output_feats: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.output_feats, name="poseFinal")(x)
+
+
+class MLPHead(nn.Module):
+    """The FID encoder's 3-layer SiLU MLP head (segment_encoder.py:143-161)."""
+
+    output_feats: int
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.latent_dim, name="fc0")(x)
+        h = nn.silu(h)
+        h = nn.Dense(self.latent_dim, name="fc1")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.output_feats, name="fc2")(h)
+
+
+class InputMerge(nn.Module):
+    """Fuse N latent streams: concat -> Linear -> SiLU -> Linear (mdm.py:54-58)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, *streams: jax.Array) -> jax.Array:
+        h = jnp.concatenate(streams, axis=-1)
+        h = nn.Dense(self.latent_dim, name="merge0")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.latent_dim, name="merge1")(h)
