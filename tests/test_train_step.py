@@ -1,0 +1,153 @@
+"""Train-step tests on the virtual 8-device CPU mesh: G diffusion step with
+extra losses, R step, encoder step, batched sampler; loss decreases on a fixed
+batch; shardings compile and execute."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oakink2_tamf_tpu.core import diffusion as D
+from oakink2_tamf_tpu.core import mano as M
+from oakink2_tamf_tpu.data.synthetic import synthetic_batch, with_perturbed_sample
+from oakink2_tamf_tpu.models import losses as LL
+from oakink2_tamf_tpu.models.encoder import EncoderConfig, SegmentEncoder
+from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
+from oakink2_tamf_tpu.models.refine_r import RefineConfig, SegmentRefineNet, stack_mano_models
+from oakink2_tamf_tpu.parallel import train as PT
+from oakink2_tamf_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+L, NOBJ, P = 16, 2, 64
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def small_g():
+    cfg = MDMConfig(latent_dim=32, ff_size=64, num_layers=2, num_heads=4, dropout=0.0)
+    return InteractionSegmentMDM(cfg)
+
+
+def init_g(model, batch):
+    cond = PT.g_cond_from_batch(batch)
+    x = batch["pose_repr"]
+    t = jnp.zeros((x.shape[0],), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), x, t, cond)
+
+
+def test_g_train_step_loss_decreases(mesh, small_g):
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    sched = D.tamf_schedule(50)
+    params = init_g(small_g, batch)
+    opt = PT.make_optimizer(base_lr=1e-3)
+    state = PT.init_train_state(params, opt)
+    step = PT.make_g_train_step(small_g, sched, opt, mesh=mesh)
+
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        # same noise key each iter -> pure optimization progress signal
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["diffusion_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(jax.device_get(state.step)) == 12
+
+
+def test_g_train_step_with_extra_losses(mesh, small_g):
+    rng = np.random.default_rng(1)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    sched = D.tamf_schedule(20)
+    params = init_g(small_g, batch)
+    opt = PT.make_optimizer()
+    state = PT.init_train_state(params, opt)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    assets = LL.load_contact_assets()
+    step = PT.make_g_train_step(
+        small_g, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=64, mesh=mesh
+    )
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert "extra/rec_joint" in metrics and np.isfinite(float(metrics["loss"]))
+
+
+def test_g_sampler_batched(mesh, small_g):
+    rng = np.random.default_rng(2)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    sched = D.tamf_schedule(10)
+    params = init_g(small_g, batch)
+    sampler = PT.make_g_sampler(small_g, sched, mesh=mesh)
+    out = sampler(replicate(params, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    assert out.shape == (8, L, 99)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_r_train_step(mesh):
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    batch = with_perturbed_sample(batch, rng)
+    net = SegmentRefineNet(RefineConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, dropout=0.0))
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    assets = LL.load_contact_assets()
+
+    cond = {k: batch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    h2o0 = jnp.zeros((8, L, 778))
+    params = net.init(jax.random.PRNGKey(0), batch["sample_pose_repr"], h2o0, cond)
+    opt = PT.make_optimizer(base_lr=1e-3)
+    state = PT.init_train_state(params, opt)
+    step = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=64, mesh=mesh)
+
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    l0 = None
+    for i in range(6):
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(5))
+        if l0 is None:
+            l0 = float(metrics["loss"])
+    assert float(metrics["loss"]) < l0
+
+
+def test_encoder_train_step(mesh):
+    rng = np.random.default_rng(4)
+    batch = synthetic_batch(rng, batch_size=16, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    model = SegmentEncoder(EncoderConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, dropout=0.0))
+    cond = {k: batch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    params = model.init(jax.random.PRNGKey(0), batch["pose_repr"], cond)
+    opt = PT.make_optimizer(base_lr=1e-3)
+    state = PT.init_train_state(params, opt)
+    step = PT.make_encoder_train_step(model, opt, mesh=mesh)
+
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    l0 = None
+    for i in range(10):
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(6))
+        if l0 is None:
+            l0 = float(metrics["ce"])
+    assert float(metrics["ce"]) < l0
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+
+
+def test_per_param_clip():
+    import optax
+
+    tx = PT.per_param_clip(0.1)
+    grads = {"a": jnp.ones((10,)) * 5.0, "b": jnp.asarray([0.001, 0.002])}
+    clipped, _ = tx.update(grads, tx.init(grads))
+    assert abs(float(jnp.linalg.norm(clipped["a"])) - 0.1) < 1e-5  # clipped
+    np.testing.assert_allclose(np.asarray(clipped["b"]), np.asarray(grads["b"]), atol=1e-8)  # untouched
+
+
+def test_multistep_lr():
+    sch = PT.multistep_lr(1e-4, [100, 200], 0.5)
+    assert abs(sch(0) - 1e-4) < 1e-12
+    assert abs(sch(150) - 5e-5) < 1e-12
+    assert abs(sch(250) - 2.5e-5) < 1e-12
