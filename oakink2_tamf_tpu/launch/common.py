@@ -1,0 +1,183 @@
+"""Shared launcher plumbing: config boot, dataset/loader construction, text
+embedding attachment, device placement. (The glue the reference spreads across
+launch/train*.py:308-500.)"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+
+from ..data.adaptors import (
+    ActionRecognitionAdapter,
+    ConcatDataset,
+    GaussianPerturbSampleAdaptor,
+    GeneratedPoseReprSampleAdaptor,
+    IdentitySampleAdaptor,
+)
+from ..data.collate import SegmentCollate
+from ..data.loader import DataLoader
+from ..data.segment import InteractionSegmentData
+from ..data.synthetic import synthetic_batch
+from ..models.clip_text import FrozenClipText
+from ..runtime import logging as RL
+from ..runtime.ckpt import RunDir
+from ..runtime.config import ConfigRegistry
+
+_logger = logging.getLogger(__name__)
+
+
+def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
+    """Parse config, set up run dir + logging. Returns (registry, run_dir)."""
+    reg = ConfigRegistry(prog)
+    for fn in register_fns:
+        fn(reg)
+    parser = argparse.ArgumentParser(prog=prog)
+    reg.hook(parser)
+    reg.parse(parser, argv)
+
+    RL.log_init()
+    RL.enable_console()
+    RL.suppress_noisy()
+
+    run_dir = RunDir(prog, exp_id=reg.select("exp_id"), commit=reg.values.get("commit", False))
+    run_dir.setup()
+    if run_dir.commit and jax.process_index() == 0:
+        RL.enable_file(run_dir.log_file)
+    run_dir.dump_opt(config={k: _plain(v) for k, v in reg.values.items()})
+    _logger.info("prog=%s exp_id=%s commit=%s", prog, run_dir.exp_id, run_dir.commit)
+    return reg, run_dir
+
+
+def _plain(v: Any):
+    try:
+        import yaml
+
+        yaml.safe_dump(v)
+        return v
+    except Exception:
+        return repr(v)
+
+
+class SyntheticSegments:
+    """Dataset-shaped wrapper over data/synthetic.py: fixed per-index samples
+    in the exact per-sample dict contract, for no-asset smoke/e2e runs."""
+
+    def __init__(self, size: int, seq_len: int = 160, max_nobj: int = 2, n_obj_points: int = 512, seed: int = 0):
+        self.size = size
+        self.seq_len = seq_len
+        self.max_nobj = max_nobj
+        self.n_obj_points = n_obj_points
+        self.seed = seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        b = synthetic_batch(
+            rng, batch_size=1, seq_len=self.seq_len, max_nobj=self.max_nobj,
+            n_obj_points=self.n_obj_points, as_jax=False,
+        )
+        n_real = int(b["obj_mask"][0].sum())
+        from ..data.adaptors import ACTION_LIST
+
+        return {
+            "info": (f"synthetic/seq_{index}", f"{ACTION_LIST[index % 70]}:{index:04d}", "rh"),
+            "len": int(b["len"][0]),
+            "mask": b["mask"][0],
+            "pose_repr": b["pose_repr"][0],
+            "shape": b["shape"][0],
+            "hand_side": "rh" if index % 2 == 0 else "lh",
+            "text": f"synthetic task {index % 7}",
+            "obj_list": [f"obj_{j:02d}" for j in range(n_real)],
+            "obj_num": n_real,
+            "obj_traj": b["obj_traj"][0][:n_real],
+            "obj_embedding": b["obj_embedding"][0][:n_real],
+            "obj_pointcloud": b["obj_points"][0][:n_real],
+        }
+
+
+def build_dataset(reg: ConfigRegistry, split: str):
+    data_cfg = reg.select("data")
+    split_cfg = reg.select(split)
+    if data_cfg.get("synthetic"):
+        return SyntheticSegments(
+            size=int(data_cfg.get("synthetic_size", 64)),
+            seq_len=int(data_cfg.get("synthetic_seq_len", 160)),
+            max_nobj=min(int(data_cfg.get("max_nobj", 4)), 2),
+            n_obj_points=min(int(data_cfg.get("n_obj_points", 2048)), 512),
+        )
+    kwargs: dict[str, Any] = dict(
+        process_range_list=split_cfg.get("process_range") or [],
+        data_prefix=data_cfg.get("data_prefix") or None,
+        obj_embedding_prefix=data_cfg.get("obj_embedding_prefix") or None,
+        obj_pointcloud_prefix=data_cfg.get("obj_pointcloud_prefix") or None,
+        enable_obj_model=bool(data_cfg.get("enable_obj_model")),
+        cache_dict_filepath=split_cfg.get("cache_dict_filepath") or None,
+    )
+    if split == "train":
+        kwargs["append_reverse_segment"] = bool(data_cfg.get("append_reverse_segment"))
+    return InteractionSegmentData(**kwargs)
+
+
+def build_loader(reg: ConfigRegistry, dataset, split: str, *, shuffle=None, drop_last=None) -> DataLoader:
+    data_cfg = reg.select("data")
+    bs = reg.select(split).get("batch_size", 8)
+    return DataLoader(
+        dataset,
+        batch_size=int(bs),
+        collate_fn=SegmentCollate(
+            max_nobj=int(data_cfg.get("max_nobj", 4)),
+            n_obj_points=int(data_cfg.get("n_obj_points", 2048)),
+        ),
+        shuffle=(split == "train") if shuffle is None else shuffle,
+        drop_last=(split == "train") if drop_last is None else drop_last,
+        seed=int(reg.select("runtime").get("seed", 0)),
+        num_workers=int(reg.select("runtime").get("num_worker", 2)),
+    )
+
+
+def build_clip(reg: ConfigRegistry) -> FrozenClipText:
+    try:
+        clip_cfg = reg.select("clip")
+    except KeyError:
+        clip_cfg = {}
+    return FrozenClipText(
+        checkpoint_path=clip_cfg.get("checkpoint_path") or None,
+        bpe_path=clip_cfg.get("bpe_path") or None,
+    )
+
+
+def attach_text_emb(batch: dict[str, Any], clip: FrozenClipText) -> dict[str, Any]:
+    """Encode batch['text'] -> batch['text_emb'] (cached per prompt)."""
+    if "text_emb" not in batch:
+        batch = dict(batch)
+        batch["text_emb"] = clip.encode_text(batch["text"]).astype(np.float32)
+    return batch
+
+
+DEVICE_BATCH_KEYS = (
+    "pose_repr",
+    "sample_pose_repr",
+    "mask",
+    "shape",
+    "hand_side",
+    "text_emb",
+    "obj_traj",
+    "obj_embedding",
+    "obj_mask",
+    "obj_points",
+    "action_label_id",
+)
+
+
+def device_batch(batch: dict[str, Any]) -> dict[str, Any]:
+    """Select the array keys that go to device (the reference's
+    map_copy_select_to idiom, dev_fn/transform/cast.py:76)."""
+    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}

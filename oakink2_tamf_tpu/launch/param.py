@@ -1,0 +1,99 @@
+"""Config-entry registration shared by the launch CLIs
+(mirrors reference launch/param/{base,mano,model,loss,loss_refine}.py +
+model/segment_encoder_param.py — the schema, not the code)."""
+
+from __future__ import annotations
+
+from ..runtime.config import ConfigRegistry
+
+
+def reg_base_param(reg: ConfigRegistry) -> None:
+    reg.register("exp_id", category=str, default="?(prog)__?(ts)")
+    reg.register("seed", prefix="runtime", category=int, default=0)
+    reg.register("num_worker", prefix="runtime", category=int, default=2)
+    reg.register("device_count", prefix="runtime", category=int, default=0, desc="0 = all devices")
+
+    reg.register("data_prefix", prefix="data", category=str, default="")
+    reg.register("obj_embedding_prefix", prefix="data", category=str, default="")
+    reg.register("obj_pointcloud_prefix", prefix="data", category=str, default="")
+    reg.register("enable_obj_model", prefix="data", category=bool, default=False)
+    reg.register("append_reverse_segment", prefix="data", category=bool, default=False)
+    reg.register("max_nobj", prefix="data", category=int, default=4)
+    reg.register("n_obj_points", prefix="data", category=int, default=2048)
+    reg.register("synthetic", prefix="data", category=bool, default=False,
+                 desc="use the synthetic dataset (no OakInk2 assets required)")
+    reg.register("synthetic_size", prefix="data", category=int, default=64)
+    reg.register("synthetic_seq_len", prefix="data", category=int, default=160)
+
+    for split in ("train", "val", "test"):
+        reg.register("process_range", prefix=split, category=str, is_list=True, default=[])
+        reg.register("cache_dict_filepath", prefix=split, category=str, default="")
+        reg.register("batch_size", prefix=split, category=int, default=64 if split == "train" else 8)
+
+
+def reg_mano_param(reg: ConfigRegistry) -> None:
+    reg.register("mano_path", prefix="mano", category=str, default="",
+                 desc="MANO assets root (synthetic stand-in when empty)")
+
+
+def reg_model_param(reg: ConfigRegistry) -> None:
+    reg.register("input_dim", prefix="model", category=int, default=99)
+    reg.register("obj_input_dim", prefix="model", category=int, default=9)
+    reg.register("hand_shape_dim", prefix="model", category=int, default=10)
+    reg.register("obj_embed_dim", prefix="model", category=int, default=768)
+    reg.register("latent_dim", prefix="model", category=int, default=256)
+    reg.register("ff_size", prefix="model", category=int, default=1024)
+    reg.register("num_layers", prefix="model", category=int, default=8)
+    reg.register("num_heads", prefix="model", category=int, default=4)
+    reg.register("dropout", prefix="model", category=float, default=0.1)
+    reg.register("activation", prefix="model", category=str, default="gelu")
+
+
+def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
+    reg.register("num_epoch", prefix="train", category=int, default=default_epochs)
+    reg.register("lr", prefix="train", category=float, default=1e-4)
+    reg.register("weight_decay", prefix="train", category=float, default=0.0)
+    reg.register("grad_clip", prefix="train", category=float, default=0.1)
+    reg.register("scheduler_milestone", prefix="train", category=int, is_list=True, default=[150, 250])
+    reg.register("scheduler_gamma", prefix="train", category=float, default=0.5)
+    reg.register("record_freq", prefix="train", category=int, default=20)
+    reg.register("reload_ckpt_model_filepath", prefix="train", category=str, default="")
+    reg.register("val_freq", prefix="train", category=int, default=50)
+
+
+def reg_diffusion_param(reg: ConfigRegistry) -> None:
+    reg.register("steps", prefix="diffusion", category=int, default=1000)
+    reg.register("noise_schedule", prefix="diffusion", category=str, default="cosine")
+    reg.register("timestep_respacing", prefix="diffusion", category=str, default="")
+
+
+def reg_loss_param(reg: ConfigRegistry) -> None:
+    reg.register("vpe_path", prefix="train.loss", category=str, default="")
+    reg.register("c_weight_path", prefix="train.loss", category=str, default="")
+    reg.register("coef_rec_joint_loss", prefix="train.loss", category=float, default=1.0)
+    reg.register("coef_rec_vert_loss", prefix="train.loss", category=float, default=1.0)
+    reg.register("coef_edge_len_loss", prefix="train.loss", category=float, default=0.1)
+    reg.register("coef_dist_h_loss", prefix="train.loss", category=float, default=0.1)
+    reg.register("coef_dist_o_loss", prefix="train.loss", category=float, default=1.0)
+
+
+def reg_clip_param(reg: ConfigRegistry) -> None:
+    reg.register("checkpoint_path", prefix="clip", category=str, default="")
+    reg.register("bpe_path", prefix="clip", category=str, default="")
+
+
+def reg_sample_param(reg: ConfigRegistry) -> None:
+    reg.register("model_filepath", prefix="sample", category=str, default="")
+    reg.register("split", prefix="sample", category=str, default="test")
+    reg.register("batch_size", prefix="sample", category=int, default=32)
+    reg.register("sampler", prefix="sample", category=str, default="ddpm",
+                 choices=["ddpm", "ddim", "plms"])
+    reg.register("save_prefix", prefix="sample", category=str, default="")
+
+
+def reg_refine_sample_param(reg: ConfigRegistry) -> None:
+    for split in ("train", "val", "test"):
+        reg.register("pose_repr_sample_dir_list", prefix=f"{split}.data", category=str,
+                     is_list=True, default=[])
+    reg.register("gaussian_perturb_range", prefix="train.data", category=float,
+                 is_list=True, default=[0.02, 0.1])

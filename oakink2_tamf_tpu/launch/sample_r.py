@@ -1,0 +1,157 @@
+"""Refined sampling: run R over cached G samples (or perturbed GT) and save the
+per-segment `save_dict.pkl` consumed by the compute_score metrics
+(reference launch/sample_refine.py:221-300).
+
+Output layout matches the reference:
+  <ckpt_path>/sample/<offset>/<process_key with / -> ++>/<prim_id>/<hand_side>/save_dict.pkl
+with keys {process_key, info, hand_side, joints, verts, faces (closed),
+obj_list, len, frame_id, refine_pose_repr}. Dedup by info, like the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+
+import numpy as np
+import jax
+
+from ..core import mano as M
+from ..data.adaptors import GaussianPerturbSampleAdaptor, GeneratedPoseReprSampleAdaptor
+from ..data.collate import SegmentCollate
+from ..models.refine_r import refine_forward, stack_mano_models
+from ..parallel.mesh import make_mesh
+from ..runtime.ckpt import load_checkpoint
+from . import common, param
+from .train_r import build_refine_net
+
+_logger = logging.getLogger(__name__)
+
+PROG = "sample_r"
+
+
+def main(argv=None):
+    reg, run_dir = common.boot(
+        PROG,
+        [
+            param.reg_base_param,
+            param.reg_mano_param,
+            param.reg_model_param,
+            param.reg_refine_sample_param,
+            param.reg_sample_param,
+        ],
+        argv,
+    )
+    sample_cfg = reg.select("sample")
+    split = sample_cfg.get("split", "test")
+    make_mesh()  # ensure devices visible
+
+    base = common.build_dataset(reg, split)
+    try:
+        sample_dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
+    except KeyError:
+        sample_dirs = []
+    if sample_dirs:
+        dataset = GeneratedPoseReprSampleAdaptor(base, sample_dirs)
+    else:
+        dataset = GaussianPerturbSampleAdaptor(base, (0.02, 0.1), seed=0)
+        _logger.warning("no G-sample dirs given; refining Gaussian-perturbed GT")
+
+    net = build_refine_net(reg)
+    mano_path = reg.select("mano").get("mano_path") or None
+    mano_rh = M.get_mano_model(mano_path, "right")
+    mano_lh = M.get_mano_model(mano_path, "left")
+    mano_stack = stack_mano_models(mano_rh, mano_lh)
+    faces_closed = {
+        0: M.closed_faces(mano_rh),
+        1: M.closed_faces(mano_lh),
+    }
+
+    data_cfg = reg.select("data")
+    collate = SegmentCollate(
+        max_nobj=int(data_cfg.get("max_nobj", 4)),
+        n_obj_points=int(data_cfg.get("n_obj_points", 2048)),
+    )
+    probe = collate([dataset[0]])
+    dprobe = common.device_batch(probe)
+    cond = {k: dprobe[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    h2o0 = np.zeros(dprobe["sample_pose_repr"].shape[:2] + (778,), np.float32)
+    params = net.init(jax.random.PRNGKey(0), dprobe["sample_pose_repr"], h2o0, cond)
+    if sample_cfg.get("model_filepath"):
+        params = load_checkpoint(sample_cfg["model_filepath"], params, strict=False)
+        _logger.info("loaded refine model from %s", sample_cfg["model_filepath"])
+
+    fwd = jax.jit(
+        lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False)
+    )
+
+    out_root = os.path.join(run_dir.path, "sample", sample_cfg.get("save_prefix") or run_dir.exp_id)
+
+    seen = set()
+    n_done = 0
+    bs = int(sample_cfg.get("batch_size", 8))
+    pending: list[dict] = []
+
+    def flush(pending):
+        nonlocal n_done
+        if not pending:
+            return
+        batch = collate(pending)
+        n_real = len(pending)
+        dbatch = common.device_batch(batch)
+        if n_real < bs:
+            dbatch = jax.tree.map(
+                lambda a: np.concatenate([a, np.repeat(a[-1:], bs - n_real, axis=0)], axis=0),
+                jax.tree.map(np.asarray, dbatch),
+            )
+        out = fwd(params, dbatch)
+        refined = np.asarray(jax.device_get(out["refine_pose_repr"]))[:n_real]
+        verts = np.asarray(jax.device_get(out["refine_hand_verts"]))[:n_real]
+        joints = np.asarray(jax.device_get(out["refine_hand_joints"]))[:n_real]
+        for j, s in enumerate(pending):
+            info = s["info"]
+            hs = s["hand_side"]
+            hs_id = 0 if hs == "rh" else 1
+            save_dict = {
+                "process_key": info[0],
+                "info": info,
+                "hand_side": hs,
+                "joints": joints[j],
+                "verts": verts[j],
+                "faces": faces_closed[hs_id],
+                "obj_list": s["obj_list"],
+                "len": s["len"],
+                "frame_id": s["frame_id"],
+                "refine_pose_repr": refined[j],
+            }
+            if run_dir.commit:
+                fp = os.path.join(
+                    out_root,
+                    str(info[0]).replace("/", "++"),
+                    str(info[1]),
+                    str(info[2]),
+                    "save_dict.pkl",
+                )
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                with open(fp, "wb") as f:
+                    pickle.dump(save_dict, f)
+            n_done += 1
+        _logger.info("refined %d segments", n_done)
+
+    for i in range(len(dataset)):
+        s = dataset[i]
+        if tuple(s["info"]) in seen:
+            continue
+        seen.add(tuple(s["info"]))
+        pending.append(s)
+        if len(pending) == bs:
+            flush(pending)
+            pending = []
+    flush(pending)
+    _logger.info("done: %s", out_root if run_dir.commit else "(dry run)")
+    return out_root
+
+
+if __name__ == "__main__":
+    main()

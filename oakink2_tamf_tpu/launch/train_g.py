@@ -1,0 +1,170 @@
+"""Train MF-MDM G (reference launch/train.py workflow, TPU-native).
+
+Usage mirrors the reference:
+  python -m oakink2_tamf_tpu.launch.train_g --cfg config/arch_mdm_l.yml \
+      --cfg config/loss_param.yml --train.cache_dict_filepath ... --commit
+
+With --data.synthetic true it runs end-to-end on generated data (smoke/e2e).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+
+from ..core import diffusion as D
+from ..core import mano as M
+from ..models import losses as LL
+from ..models.mdm_g import InteractionSegmentMDM, MDMConfig
+from ..models.refine_r import stack_mano_models
+from ..parallel import train as PT
+from ..parallel.mesh import is_coordinator, make_mesh, replicate, shard_batch
+from ..runtime.ckpt import load_checkpoint, save_train_state
+from ..runtime.logging import MetricWriter
+from . import common, param
+
+_logger = logging.getLogger(__name__)
+
+PROG = "train_g"
+
+
+def build_model(reg) -> InteractionSegmentMDM:
+    m = reg.select("model")
+    return InteractionSegmentMDM(
+        MDMConfig(
+            input_dim=int(m.get("input_dim", 99)),
+            obj_input_dim=int(m.get("obj_input_dim", 9)),
+            hand_shape_dim=int(m.get("hand_shape_dim", 10)),
+            obj_embed_dim=int(m.get("obj_embed_dim", 768)),
+            latent_dim=int(m.get("latent_dim", 256)),
+            ff_size=int(m.get("ff_size", 1024)),
+            num_layers=int(m.get("num_layers", 8)),
+            num_heads=int(m.get("num_heads", 4)),
+            dropout=float(m.get("dropout", 0.1)),
+            activation=str(m.get("activation", "gelu")),
+        )
+    )
+
+
+def main(argv=None):
+    reg, run_dir = common.boot(
+        PROG,
+        [
+            param.reg_base_param,
+            param.reg_mano_param,
+            param.reg_model_param,
+            lambda r: param.reg_train_param(r, 400),
+            param.reg_diffusion_param,
+            param.reg_loss_param,
+            param.reg_clip_param,
+        ],
+        argv,
+    )
+    train_cfg = reg.select("train")
+    mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
+    _logger.info("mesh: %s", mesh)
+
+    # data
+    train_ds = common.build_dataset(reg, "train")
+    train_loader = common.build_loader(reg, train_ds, "train")
+    clip = common.build_clip(reg)
+
+    # model + diffusion
+    model = build_model(reg)
+    dcfg = reg.select("diffusion")
+    sched = D.tamf_schedule(
+        int(dcfg.get("steps", 1000)), str(dcfg.get("noise_schedule", "cosine")),
+        str(dcfg.get("timestep_respacing", "")),
+    )
+
+    # mano + loss assets
+    mano_path = reg.select("mano").get("mano_path") or None
+    mano_stack = stack_mano_models(
+        M.get_mano_model(mano_path, "right"), M.get_mano_model(mano_path, "left")
+    )
+    loss_yaml = train_cfg.get("loss", {})
+    assets = LL.load_contact_assets(
+        loss_yaml.get("vpe_path") or None, loss_yaml.get("c_weight_path") or None
+    )
+    extra_cfg = LL.ExtraLossConfig(
+        coef_rec_joint=float(loss_yaml.get("coef_rec_joint_loss", 1.0)),
+        coef_rec_vert=float(loss_yaml.get("coef_rec_vert_loss", 1.0)),
+        coef_edge_len=float(loss_yaml.get("coef_edge_len_loss", 0.1)),
+        coef_dist_h=float(loss_yaml.get("coef_dist_h_loss", 0.1)),
+        coef_dist_o=float(loss_yaml.get("coef_dist_o_loss", 1.0)),
+    )
+
+    # init params from one batch
+    first = common.attach_text_emb(next(iter(train_loader)), clip)
+    dbatch = common.device_batch(first)
+    cond = PT.g_cond_from_batch(dbatch)
+    params = model.init(
+        jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0))),
+        dbatch["pose_repr"], np.zeros((dbatch["pose_repr"].shape[0],), np.int32), cond,
+    )
+
+    # optimizer: epoch milestones -> step milestones
+    steps_per_epoch = len(train_loader)
+    milestones = [int(m) * steps_per_epoch for m in train_cfg.get("scheduler_milestone", [])]
+    optimizer = PT.make_optimizer(
+        base_lr=float(train_cfg.get("lr", 1e-4)),
+        weight_decay=float(train_cfg.get("weight_decay", 0.0)),
+        grad_clip=float(train_cfg.get("grad_clip", 0.1)),
+        milestones_steps=milestones,
+        gamma=float(train_cfg.get("scheduler_gamma", 0.5)),
+    )
+    state = PT.init_train_state(params, optimizer)
+    if train_cfg.get("reload_ckpt_model_filepath"):
+        state = load_checkpoint(train_cfg["reload_ckpt_model_filepath"], state, strict=False)
+        _logger.info("reloaded ckpt from %s at step %d", train_cfg["reload_ckpt_model_filepath"], int(jax.device_get(state.step)))
+
+    step_fn = PT.make_g_train_step(
+        model, sched, optimizer, mano_stack, assets, extra_cfg,
+        chunk=2048, mesh=mesh,
+    )
+    state = replicate(state, mesh)
+
+    writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,
+                          enabled=run_dir.commit and is_coordinator())
+
+    num_epoch = int(train_cfg.get("num_epoch", 400))
+    record_freq = int(train_cfg.get("record_freq", 20))
+    seed = int(reg.select("runtime").get("seed", 0))
+    key = jax.random.PRNGKey(seed)
+
+    global_step = 0
+    for epoch_id in range(num_epoch):
+        train_loader.set_epoch(epoch_id)
+        t_epoch = time.time()
+        last_metrics = {}
+        for batch in train_loader:
+            batch = common.attach_text_emb(batch, clip)
+            sbatch = shard_batch(common.device_batch(batch), mesh)
+            key, k_step = jax.random.split(key)
+            state, metrics = step_fn(state, sbatch, k_step)
+            global_step += 1
+            if global_step % 50 == 0:
+                last_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                writer.add_scalars(last_metrics, global_step)
+        if not last_metrics:
+            last_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+        _logger.info(
+            "train epoch %04d conclude | loss: %f | %.1fs",
+            epoch_id, last_metrics.get("loss", float("nan")), time.time() - t_epoch,
+        )
+
+        if is_coordinator() and run_dir.commit and (
+            epoch_id % record_freq == 0 or epoch_id == num_epoch - 1
+        ):
+            path = save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
+            _logger.info("saved %s", path)
+
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

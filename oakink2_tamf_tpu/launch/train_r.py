@@ -1,0 +1,161 @@
+"""Train MF-MDM R, the refiner (reference launch/train_refine.py workflow).
+
+Training data = ConcatDataset[GeneratedPoseReprSampleAdaptor(G sample dirs),
+GaussianPerturbSampleAdaptor(sigma in [0.02, 0.1])] (ref :367-373,
+config/refine_sample_param.yml). One deterministic forward per step; the
+forward internally runs 3x MANO recovery + 3x signed h2o chamfer (the hot
+path) — all vmapped on device here.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+
+from ..core import mano as M
+from ..data.adaptors import ConcatDataset, GaussianPerturbSampleAdaptor, GeneratedPoseReprSampleAdaptor
+from ..models import losses as LL
+from ..models.refine_r import RefineConfig, SegmentRefineNet, stack_mano_models
+from ..parallel import train as PT
+from ..parallel.mesh import is_coordinator, make_mesh, replicate, shard_batch
+from ..runtime.ckpt import load_checkpoint, save_train_state
+from ..runtime.logging import MetricWriter
+from . import common, param
+
+_logger = logging.getLogger(__name__)
+
+PROG = "train_r"
+
+
+def build_refine_net(reg) -> SegmentRefineNet:
+    m = reg.select("model")
+    return SegmentRefineNet(
+        RefineConfig(
+            input_dim=int(m.get("input_dim", 99)),
+            obj_input_dim=int(m.get("obj_input_dim", 9)),
+            hand_shape_dim=int(m.get("hand_shape_dim", 10)),
+            obj_embed_dim=int(m.get("obj_embed_dim", 768)),
+            latent_dim=int(m.get("latent_dim", 256)),
+            ff_size=int(m.get("ff_size", 1024)),
+            num_layers=int(m.get("num_layers", 8)),
+            num_heads=int(m.get("num_heads", 4)),
+            dropout=float(m.get("dropout", 0.1)),
+            activation=str(m.get("activation", "gelu")),
+        )
+    )
+
+
+def build_r_train_dataset(reg):
+    base = common.build_dataset(reg, "train")
+    try:
+        sample_dirs = reg.select("train.data").get("pose_repr_sample_dir_list") or []
+    except KeyError:
+        sample_dirs = []
+    try:
+        sigma_range = reg.select("train.data").get("gaussian_perturb_range") or [0.02, 0.1]
+    except KeyError:
+        sigma_range = [0.02, 0.1]
+    parts = []
+    if sample_dirs:
+        parts.append(GeneratedPoseReprSampleAdaptor(base, sample_dirs))
+    parts.append(
+        GaussianPerturbSampleAdaptor(base, sigma_range, seed=int(reg.select("runtime").get("seed", 0)))
+    )
+    return ConcatDataset(parts) if len(parts) > 1 else parts[0]
+
+
+def main(argv=None):
+    reg, run_dir = common.boot(
+        PROG,
+        [
+            param.reg_base_param,
+            param.reg_mano_param,
+            param.reg_model_param,
+            lambda r: param.reg_train_param(r, 400),
+            param.reg_loss_param,
+            param.reg_refine_sample_param,
+        ],
+        argv,
+    )
+    train_cfg = reg.select("train")
+    mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
+
+    dataset = build_r_train_dataset(reg)
+    loader = common.build_loader(reg, dataset, "train")
+
+    net = build_refine_net(reg)
+    mano_path = reg.select("mano").get("mano_path") or None
+    mano_stack = stack_mano_models(
+        M.get_mano_model(mano_path, "right"), M.get_mano_model(mano_path, "left")
+    )
+    loss_yaml = train_cfg.get("loss", {})
+    assets = LL.load_contact_assets(
+        loss_yaml.get("vpe_path") or None, loss_yaml.get("c_weight_path") or None
+    )
+    loss_cfg = LL.RefineLossConfig(
+        coef_rec_joint=float(loss_yaml.get("coef_rec_joint_loss", 1.0)),
+        coef_rec_vert=float(loss_yaml.get("coef_rec_vert_loss", 1.0)),
+        coef_dist_h=float(loss_yaml.get("coef_dist_h_loss", 0.1)),
+    )
+
+    first = next(iter(loader))
+    dbatch = common.device_batch(first)
+    cond = {k: dbatch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    h2o0 = np.zeros(dbatch["sample_pose_repr"].shape[:2] + (778,), np.float32)
+    params = net.init(
+        jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0))),
+        dbatch["sample_pose_repr"], h2o0, cond,
+    )
+
+    steps_per_epoch = len(loader)
+    milestones = [int(m) * steps_per_epoch for m in train_cfg.get("scheduler_milestone", [])]
+    optimizer = PT.make_optimizer(
+        base_lr=float(train_cfg.get("lr", 1e-4)),
+        weight_decay=float(train_cfg.get("weight_decay", 0.0)),
+        grad_clip=float(train_cfg.get("grad_clip", 0.1)),
+        milestones_steps=milestones,
+        gamma=float(train_cfg.get("scheduler_gamma", 0.5)),
+    )
+    state = PT.init_train_state(params, optimizer)
+    if train_cfg.get("reload_ckpt_model_filepath"):
+        state = load_checkpoint(train_cfg["reload_ckpt_model_filepath"], state, strict=False)
+
+    step_fn = PT.make_r_train_step(net, optimizer, mano_stack, assets, loss_cfg, chunk=2048, mesh=mesh)
+    state = replicate(state, mesh)
+
+    writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,
+                          enabled=run_dir.commit and is_coordinator())
+
+    num_epoch = int(train_cfg.get("num_epoch", 400))
+    record_freq = int(train_cfg.get("record_freq", 20))
+    key = jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0)))
+
+    global_step = 0
+    for epoch_id in range(num_epoch):
+        loader.set_epoch(epoch_id)
+        t0 = time.time()
+        for batch in loader:
+            sbatch = shard_batch(common.device_batch(batch), mesh)
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, sbatch, k)
+            global_step += 1
+            if global_step % 50 == 0:
+                writer.add_scalars({k_: float(jax.device_get(v)) for k_, v in metrics.items()}, global_step)
+        _logger.info(
+            "train epoch %04d conclude | loss: %f | %.1fs",
+            epoch_id, float(jax.device_get(metrics["loss"])), time.time() - t0,
+        )
+        if is_coordinator() and run_dir.commit and (
+            epoch_id % record_freq == 0 or epoch_id == num_epoch - 1
+        ):
+            save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
+
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
