@@ -89,6 +89,7 @@ class SyntheticSegments:
 
         return {
             "info": (f"synthetic/seq_{index}", f"{ACTION_LIST[index % 70]}:{index:04d}", "rh"),
+            "frame_id": list(range(int(b["len"][0]))),
             "len": int(b["len"][0]),
             "mask": b["mask"][0],
             "pose_repr": b["pose_repr"][0],

@@ -33,7 +33,9 @@ def default_exp_id(prog: str) -> str:
 
 
 def ckpt_path_for(prog: str, exp_id: str, root: str = ".") -> str:
-    return os.path.normpath(os.path.join(root, "common", prog, exp_id))
+    """Absolute `<root>/common/<prog>/<exp_id>` (the reference anchors at the
+    process CWD, upkeep/ckpt.py:67-76)."""
+    return os.path.abspath(os.path.join(root, "common", prog, exp_id))
 
 
 def rotate_file(path: str, limit: int = 100) -> None:

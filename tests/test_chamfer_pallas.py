@@ -1,0 +1,62 @@
+"""Pallas chamfer kernel vs the XLA streaming reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from oakink2_tamf_tpu.core import geometry as G
+from oakink2_tamf_tpu.ops import chamfer_pallas as CP
+
+
+def test_nn_bidirectional_matches_reference():
+    rng = np.random.default_rng(0)
+    F, P1, P2 = 3, 50, 300
+    x = rng.normal(size=(F, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(F, P2, 3)).astype(np.float32)
+
+    h2o_d, h2o_i, o2h_d, o2h_i = CP.nn_bidirectional_pallas(
+        jnp.asarray(x), jnp.asarray(y), tile=128, interpret=True
+    )
+    for f in range(F):
+        d = np.linalg.norm(x[f][:, None] - y[f][None], axis=-1) ** 2
+        np.testing.assert_allclose(np.asarray(h2o_d[f]), d.min(axis=1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h2o_i[f]), d.argmin(axis=1))
+        np.testing.assert_allclose(np.asarray(o2h_d[f]), d.min(axis=0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(o2h_i[f]), d.argmin(axis=0))
+
+
+def test_nn_with_valid_mask():
+    rng = np.random.default_rng(1)
+    F, P1, P2 = 2, 20, 200
+    x = rng.normal(size=(F, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(F, P2, 3)).astype(np.float32)
+    valid = np.ones((F, P2), bool)
+    valid[:, 150:] = False
+    # poison invalid points at x positions: must be ignored for h2o
+    y[:, 150:170] = x[:, :20] if P1 >= 20 else y[:, 150:170]
+
+    h2o_d, h2o_i, _, _ = CP.nn_bidirectional_pallas(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), tile=128, interpret=True
+    )
+    for f in range(F):
+        d = np.linalg.norm(x[f][:, None] - y[f][None, :150], axis=-1) ** 2
+        np.testing.assert_allclose(np.asarray(h2o_d[f]), d.min(axis=1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h2o_i[f]), d.argmin(axis=1))
+
+
+def test_point2point_signed_pallas_matches_geometry():
+    rng = np.random.default_rng(2)
+    N, P1, P2 = 2, 37, 260
+    x = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(N, P2, 3)).astype(np.float32)
+    xn = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    xn /= np.linalg.norm(xn, axis=-1, keepdims=True)
+
+    y2x_p, x2y_p, yidx_p = CP.point2point_signed_pallas(
+        jnp.asarray(x), jnp.asarray(y), x_normals=jnp.asarray(xn), tile=128, interpret=True
+    )
+    y2x_r, x2y_r, yidx_r = G.point2point_signed(
+        jnp.asarray(x), jnp.asarray(y), x_normals=jnp.asarray(xn), chunk=64
+    )
+    np.testing.assert_allclose(np.asarray(y2x_p), np.asarray(y2x_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2y_p), np.asarray(x2y_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(yidx_p), np.asarray(yidx_r))
