@@ -6,9 +6,15 @@ distances computed per frame between 778 hand verts and nobj*8192 object
 points (segment_refine_model.py:142-168, extra_loss.py:146-178).
 
 Why a kernel: the pairwise [P1, P2] distance matrix (25 MB/frame at P2=8192)
-must never be materialized in HBM. XLA's matmul+argmin splits into kernels
-with an HBM round-trip; here each [P1, TILE] distance block lives only in VMEM
-and both directions' running min/argmin accumulate in place.
+must never be materialized in HBM; each [P1, TILE] distance block lives only
+in VMEM and both directions' running min/argmin accumulate in place.
+
+MEASURED (v5e, F=160 P1=778 P2=8192): XLA's lax.scan streaming formulation in
+core/geometry.py compiles to a fully-fused bandwidth-bound program
+(~57us steady-state ~= HBM-roundtrip speed-of-light for the ~50 MB touched),
+while this kernel's lane-dim argmin + broadcast relayouts run ~1ms. The XLA
+path therefore REMAINS THE DEFAULT everywhere; this kernel is kept as the
+explicit-VMEM implementation and a baseline for future kernel work.
 
 Compute/TPU layout:
 - x (hand verts) ride sublane-major as [P1p, 3] per frame (P1p = 778 -> 896);
