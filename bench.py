@@ -40,7 +40,15 @@ def main():
     seq_len = int(os.environ.get("BENCH_SEQLEN", "160"))
     ref_iters = int(os.environ.get("BENCH_REF_STEPS", "50"))  # emulation sample count
 
-    model = InteractionSegmentMDM(MDMConfig.arch_mdm_l())
+    import dataclasses as _dc
+
+    # float32 default: XLA already lowers f32 matmuls to bf16 MXU passes on TPU
+    # (measured: explicit bf16 activations only add cast overhead — 16.6 vs
+    # 17.1 samples/s). The compute_dtype knob stays for memory-bound regimes.
+    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    model = InteractionSegmentMDM(
+        _dc.replace(MDMConfig.arch_mdm_l(), compute_dtype=compute_dtype)
+    )
     sched = D.tamf_schedule(steps)
     rng = np.random.default_rng(0)
     b = synthetic_batch(rng, batch_size=batch, seq_len=seq_len, max_nobj=2, n_obj_points=64)
@@ -48,6 +56,12 @@ def main():
     x = b["pose_repr"]
     t0 = jnp.zeros((batch,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t0, cond)
+    if compute_dtype == "bfloat16":
+        # pre-cast weights once so the scan body doesn't re-cast per step
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
 
     # --- ours: batched scan chain -----------------------------------------
     def sample_batched(params, cond, key):

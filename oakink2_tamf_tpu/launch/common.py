@@ -34,6 +34,8 @@ _logger = logging.getLogger(__name__)
 
 def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
     """Parse config, set up run dir + logging. Returns (registry, run_dir)."""
+    maybe_init_distributed()
+
     reg = ConfigRegistry(prog)
     for fn in register_fns:
         fn(reg)
@@ -44,6 +46,10 @@ def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
     RL.log_init()
     RL.enable_console()
     RL.suppress_noisy()
+    # exact-command provenance (reference dev_fn/upkeep/opt.get_command)
+    import sys as _sys
+
+    _logger.info("cmd: %s", " ".join(_sys.argv))
 
     run_dir = RunDir(prog, exp_id=reg.select("exp_id"), commit=reg.values.get("commit", False))
     run_dir.setup()
@@ -52,6 +58,23 @@ def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
     run_dir.dump_opt(config={k: _plain(v) for k, v in reg.values.items()})
     _logger.info("prog=%s exp_id=%s commit=%s", prog, run_dir.exp_id, run_dir.commit)
     return reg, run_dir
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host bring-up: `jax.distributed.initialize()` when the standard
+    coordinator env vars are present (replaces the reference's
+    dist.init_process_group over a hardcoded localhost rendezvous,
+    util/ddp_util.py:16-21 — which limited it to one node; here any pod
+    topology works through the same mesh code)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            _logger.info(
+                "jax.distributed initialized: process %d/%d",
+                jax.process_index(), jax.process_count(),
+            )
+        except Exception as e:  # already initialized / single-host
+            _logger.warning("jax.distributed.initialize failed: %s", e)
 
 
 def _plain(v: Any):

@@ -49,6 +49,30 @@ def build_model(reg) -> InteractionSegmentMDM:
     )
 
 
+def evaluate_g(model, sched, params, loader, clip, mesh, key, max_batches: int = 2):
+    """val/test pass (reference launch/train.py:577-656): sample the model on
+    held-out segments and report masked MSE of the generated pose_repr vs GT.
+    Batched scan sampling replaces the reference's per-batch 1000-step loop."""
+    from ..parallel.mesh import replicate as _rep, shard_batch as _shard
+
+    sampler = PT.make_g_sampler(model, sched, mesh=mesh)
+    params_r = _rep(params, mesh)
+    mses, n = [], 0
+    for batch in loader:
+        if n >= max_batches:
+            break
+        batch = common.attach_text_emb(batch, clip)
+        db = common.device_batch(batch)
+        key, k = jax.random.split(key)
+        sample = sampler(params_r, _shard(db, mesh), k)
+        mse = D.masked_l2(
+            jax.device_put(db["pose_repr"]), sample, jax.device_put(db["mask"])
+        )
+        mses.append(np.asarray(jax.device_get(mse)))
+        n += 1
+    return float(np.mean(np.concatenate(mses))) if mses else float("nan")
+
+
 def main(argv=None):
     reg, run_dir = common.boot(
         PROG,
@@ -161,6 +185,23 @@ def main(argv=None):
         ):
             path = save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
             _logger.info("saved %s", path)
+
+        val_freq = int(train_cfg.get("val_freq", 0) or 0)
+        if val_freq and is_coordinator() and (
+            (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
+        ):
+            for split in ("val", "test"):
+                try:
+                    eval_ds = common.build_dataset(reg, split)
+                except (ValueError, KeyError):
+                    continue
+                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+                if len(eval_loader) == 0:
+                    continue
+                key, k_eval = jax.random.split(key)
+                mse = evaluate_g(model, sched, state.params, eval_loader, clip, mesh, k_eval)
+                _logger.info("%s epoch %04d sample-vs-gt masked MSE: %f", split, epoch_id, mse)
+                writer.add_scalar(f"{split}/sample_mse", mse, global_step)
 
     writer.close()
     return state

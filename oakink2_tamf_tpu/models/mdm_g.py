@@ -59,6 +59,7 @@ class MDMConfig:
     clip_dim: int = 512
     cond_mask_prob: float = 0.0
     remat: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" puts trunk matmuls on the MXU fast path
 
     @classmethod
     def arch_mdm(cls) -> "MDMConfig":
@@ -125,6 +126,7 @@ class InteractionSegmentMDM(nn.Module):
             dropout=cfg.dropout,
             activation=cfg.activation,
             remat=cfg.remat,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             name="seqTransEncoder",
         )(xseq, deterministic=deterministic)
         out = out[:, NUM_COND_TOKENS_G:]  # [bs, L, d]

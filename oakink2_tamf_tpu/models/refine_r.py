@@ -53,6 +53,7 @@ class RefineConfig:
     activation: str = "gelu"
     n_hand_verts: int = 778
     remat: bool = False
+    compute_dtype: str = "float32"
 
 
 NUM_COND_TOKENS_R = 3
@@ -101,6 +102,7 @@ class SegmentRefineNet(nn.Module):
             dropout=cfg.dropout,
             activation=cfg.activation,
             remat=cfg.remat,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             name="seqTransEncoder",
         )(xseq, deterministic=deterministic)
         out = out[:, NUM_COND_TOKENS_R:]

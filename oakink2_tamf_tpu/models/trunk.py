@@ -66,13 +66,18 @@ class TimestepEmbedder(nn.Module):
 
 
 class EncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer (post-LN, gelu) in flax."""
+    """torch nn.TransformerEncoderLayer (post-LN, gelu) in flax.
+
+    `dtype` is the COMPUTE dtype (bfloat16 puts the matmuls on the MXU fast
+    path); params stay float32, LayerNorms reduce in float32.
+    """
 
     d_model: int
     num_heads: int
     ff_size: int
     dropout: float = 0.1
     activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -84,15 +89,17 @@ class EncoderLayer(nn.Module):
             out_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
             name="self_attn",
         )(x, x, mask=attn_mask)
         x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+        x = x.astype(self.dtype)
 
         act = nn.gelu if self.activation == "gelu" else nn.relu
-        h = nn.Dense(self.ff_size, name="linear1")(x)
+        h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(x)
         h = act(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout)(h, deterministic=deterministic))
         return x
 
@@ -105,11 +112,14 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     remat: bool = False  # jax.checkpoint each layer: FLOPs for HBM on long batches
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 for the MXU fast path)
 
     @nn.compact
     def __call__(
         self, x: jax.Array, *, attn_mask: jax.Array | None = None, deterministic: bool = True
     ) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         for i in range(self.num_layers):
             x = layer_cls(
@@ -118,9 +128,10 @@ class TransformerEncoder(nn.Module):
                 ff_size=self.ff_size,
                 dropout=self.dropout,
                 activation=self.activation,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, attn_mask=attn_mask, deterministic=deterministic)
-        return x
+        return x.astype(in_dtype)
 
 
 # ---------------------------------------------------------------------------
