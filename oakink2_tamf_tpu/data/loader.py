@@ -78,16 +78,19 @@ class DataLoader:
             yield chunk.tolist()
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for chunk in self._batches():
-                    if stop.is_set():
-                        return
-                    samples = [self.dataset[i] for i in chunk]
-                    q.put(self.collate_fn(samples))
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for chunk in self._batches():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        q.put(self.collate_fn(samples))
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)

@@ -110,6 +110,18 @@ class SyntheticSegments:
         n_real = int(b["obj_mask"][0].sum())
         from ..data.adaptors import ACTION_LIST
 
+        # simple box meshes per object so mesh-consuming paths (SIV) run
+        h = 0.04
+        box_verts = np.array(
+            [[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+             [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]], np.float32,
+        )
+        box_faces = np.array(
+            [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+             [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]],
+            np.int32,
+        )
+
         return {
             "info": (f"synthetic/seq_{index}", f"{ACTION_LIST[index % 70]}:{index:04d}", "rh"),
             "frame_id": list(range(int(b["len"][0]))),
@@ -124,6 +136,8 @@ class SyntheticSegments:
             "obj_traj": b["obj_traj"][0][:n_real],
             "obj_embedding": b["obj_embedding"][0][:n_real],
             "obj_pointcloud": b["obj_points"][0][:n_real],
+            "obj_verts": [box_verts.copy() for _ in range(n_real)],
+            "obj_faces": [box_faces.copy() for _ in range(n_real)],
         }
 
 

@@ -59,6 +59,8 @@ def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
     reg.register("record_freq", prefix="train", category=int, default=20)
     reg.register("reload_ckpt_model_filepath", prefix="train", category=str, default="")
     reg.register("val_freq", prefix="train", category=int, default=50)
+    reg.register("schedule_sampler", prefix="train", category=str, default="uniform",
+                 choices=["uniform", "loss-second-moment"])
 
 
 def reg_diffusion_param(reg: ConfigRegistry) -> None:

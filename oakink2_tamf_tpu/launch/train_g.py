@@ -73,6 +73,15 @@ def evaluate_g(model, sched, params, loader, clip, mesh, key, max_batches: int =
     return float(np.mean(np.concatenate(mses))) if mses else float("nan")
 
 
+def _scalars(metrics):
+    out = {}
+    for k, v in metrics.items():
+        a = jax.device_get(v)
+        if np.ndim(a) == 0:
+            out[k] = float(a)
+    return out
+
+
 def main(argv=None):
     reg, run_dir = common.boot(
         PROG,
@@ -151,6 +160,17 @@ def main(argv=None):
     )
     state = replicate(state, mesh)
 
+    # schedule sampler: uniform (all TaMF configs) or host-side importance
+    # resampling over timesteps (resample.py:119-147 counterpart)
+    from ..core.schedule_sampler import create_named_schedule_sampler
+
+    sampler_name = str(train_cfg.get("schedule_sampler", "uniform"))
+    resampler = (
+        create_named_schedule_sampler(sampler_name, sched.num_timesteps)
+        if sampler_name != "uniform"
+        else None
+    )
+
     writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,
                           enabled=run_dir.commit and is_coordinator())
 
@@ -166,15 +186,25 @@ def main(argv=None):
         last_metrics = {}
         for batch in train_loader:
             batch = common.attach_text_emb(batch, clip)
-            sbatch = shard_batch(common.device_batch(batch), mesh)
+            dbatch = common.device_batch(batch)
             key, k_step = jax.random.split(key)
+            if resampler is not None:
+                key, k_t = jax.random.split(key)
+                t, w = resampler.sample(k_t, dbatch["pose_repr"].shape[0])
+                dbatch = dict(dbatch, t=np.asarray(t), t_weights=np.asarray(w))
+            sbatch = shard_batch(dbatch, mesh)
             state, metrics = step_fn(state, sbatch, k_step)
             global_step += 1
+            if resampler is not None:
+                resampler.update_with_losses(
+                    jax.device_get(metrics["per_sample_t"]),
+                    jax.device_get(metrics["per_sample_mse"]),
+                )
             if global_step % 50 == 0:
-                last_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                last_metrics = _scalars(metrics)
                 writer.add_scalars(last_metrics, global_step)
         if not last_metrics:
-            last_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            last_metrics = _scalars(metrics)
         _logger.info(
             "train epoch %04d conclude | loss: %f | %.1fs",
             epoch_id, last_metrics.get("loss", float("nan")), time.time() - t_epoch,

@@ -153,8 +153,50 @@ def main(argv=None):
         ):
             save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
 
+        # val/test deterministic forward + loss (train_refine.py val passes)
+        val_freq = int(train_cfg.get("val_freq", 0) or 0)
+        if val_freq and is_coordinator() and (
+            (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
+        ):
+            eval_fn = jax.jit(
+                lambda p, b: LL.segment_refine_loss(
+                    assets, loss_cfg,
+                    refine_forward_eval(net, p, mano_stack, b), b,
+                )
+            )
+            for split in ("val", "test"):
+                try:
+                    eval_base = common.build_dataset(reg, split)
+                except (ValueError, KeyError):
+                    continue
+                try:
+                    dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
+                except KeyError:
+                    dirs = []
+                eval_ds = (
+                    GeneratedPoseReprSampleAdaptor(eval_base, dirs)
+                    if dirs
+                    else GaussianPerturbSampleAdaptor(eval_base, (0.02, 0.1), seed=1)
+                )
+                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+                losses = []
+                for bi, b in enumerate(eval_loader):
+                    if bi >= 2:
+                        break
+                    loss, _ = eval_fn(state.params, shard_batch(common.device_batch(b), mesh))
+                    losses.append(float(jax.device_get(loss)))
+                if losses:
+                    _logger.info("%s epoch %04d refine loss: %f", split, epoch_id, np.mean(losses))
+                    writer.add_scalar(f"{split}/loss", float(np.mean(losses)), global_step)
+
     writer.close()
     return state
+
+
+def refine_forward_eval(net, params, mano_stack, batch):
+    from ..models.refine_r import refine_forward
+
+    return refine_forward(net, params, mano_stack, batch, deterministic=True)
 
 
 if __name__ == "__main__":

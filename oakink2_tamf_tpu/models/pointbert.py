@@ -113,7 +113,7 @@ class ViTBlock(nn.Module):
         x = x + self._drop_path(h, deterministic)
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
         return x + self._drop_path(h, deterministic)
 
@@ -158,7 +158,7 @@ class PointTransformer(nn.Module):
         cls_pos = self.param("cls_pos", nn.initializers.normal(1.0), (1, 1, cfg.trans_dim))
 
         pos = nn.Dense(128, name="pos_fc1")(centers)
-        pos = nn.gelu(pos)
+        pos = nn.gelu(pos, approximate=False)
         pos = nn.Dense(cfg.trans_dim, name="pos_fc2")(pos)
 
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, cfg.trans_dim)), tokens], axis=1)

@@ -95,7 +95,9 @@ class EncoderLayer(nn.Module):
         x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
         x = x.astype(self.dtype)
 
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        # exact (erf) gelu: torch nn.TransformerEncoderLayer's default; flax's
+        # default is the tanh approximation (~1e-4 divergence)
+        act = (lambda a: nn.gelu(a, approximate=False)) if self.activation == "gelu" else nn.relu
         h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(x)
         h = act(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

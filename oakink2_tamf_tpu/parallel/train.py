@@ -138,8 +138,13 @@ def make_g_train_step(
     def step_fn(state: TrainState, batch: dict[str, Any], rng: jax.Array):
         k_t, k_noise, k_dropout, k_cond = jax.random.split(rng, 4)
         bs = batch["pose_repr"].shape[0]
-        t = jax.random.randint(k_t, (bs,), 0, sched.num_timesteps, dtype=jnp.int32)
-        weights = jnp.ones((bs,), jnp.float32)  # uniform sampler
+        # timesteps: host-provided (importance resampler) or uniform in-step
+        if "t" in batch:
+            t = batch["t"].astype(jnp.int32)
+            weights = batch["t_weights"].astype(jnp.float32)
+        else:
+            t = jax.random.randint(k_t, (bs,), 0, sched.num_timesteps, dtype=jnp.int32)
+            weights = jnp.ones((bs,), jnp.float32)  # uniform sampler
 
         cond = g_cond_from_batch(batch)
 
@@ -155,7 +160,14 @@ def make_g_train_step(
                 model_fn, sched, batch["pose_repr"], t, batch["mask"], k_noise
             )
             diffusion_loss = jnp.mean(mse * weights)
-            metrics = {"diffusion_loss": diffusion_loss, "t_mean": jnp.mean(t.astype(jnp.float32))}
+            metrics = {
+                "diffusion_loss": diffusion_loss,
+                "t_mean": jnp.mean(t.astype(jnp.float32)),
+                # per-sample values for the loss-second-moment resampler's
+                # host-side history update (resample.py:83-118 counterpart)
+                "per_sample_mse": mse,
+                "per_sample_t": t,
+            }
             total = diffusion_loss
             if use_extra:
                 extra, terms = LL.interaction_segment_extra_loss(

@@ -102,3 +102,13 @@ def test_fid_identity_refinement(setup):
     res = CS.run_fid(reg, dataset, sd, mano_stack)
     assert res["fid"] == pytest.approx(0.0, abs=1e-3)
     assert res["n_segments"] == len(dataset)
+
+
+def test_siv_identity_refinement(setup):
+    reg, dataset, sample_dir, mano_stack = setup
+    sd = CS.load_save_dicts(sample_dir)
+    res = CS.run_siv(reg, dataset, sd, mano_stack)
+    # identity refinement -> identical SIV; values finite and non-negative
+    assert res["n_frames"] > 0
+    assert res["gt_siv_cm3"] == pytest.approx(res["refined_siv_cm3"], abs=1e-9)
+    assert res["gt_siv_cm3"] >= 0.0

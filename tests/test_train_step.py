@@ -151,3 +151,24 @@ def test_multistep_lr():
     assert abs(sch(0) - 1e-4) < 1e-12
     assert abs(sch(150) - 5e-5) < 1e-12
     assert abs(sch(250) - 2.5e-5) < 1e-12
+
+
+def test_g_train_step_host_provided_t(mesh, small_g):
+    """Importance-resampler path: t/t_weights arrive in the batch."""
+    rng = np.random.default_rng(9)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    sched = D.tamf_schedule(30)
+    params = init_g(small_g, batch)
+    opt = PT.make_optimizer()
+    state = PT.init_train_state(params, opt)
+    step = PT.make_g_train_step(small_g, sched, opt, mesh=mesh)
+
+    batch = dict(batch)
+    batch["t"] = jnp.asarray(np.arange(8) % 30, jnp.int32)
+    batch["t_weights"] = jnp.full((8,), 0.5, jnp.float32)
+
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    state, metrics = step(state, sbatch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(metrics["per_sample_t"]), np.arange(8) % 30)
+    assert np.isfinite(float(metrics["diffusion_loss"]))
