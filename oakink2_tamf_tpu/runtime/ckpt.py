@@ -174,8 +174,43 @@ def _unflatten_dict(flat: dict[str, Any]):
     return out
 
 
-def save_train_state(save_dir: str, step_or_epoch: int, state, prefix: str = "model") -> str:
-    """<save_dir>/<prefix>_{epoch:04d}.ckpt (reference: save/model_{epoch:04d}.pt)."""
+def save_train_state(
+    save_dir: str, step_or_epoch: int, state, prefix: str = "model", backend: str = "pickle"
+) -> str:
+    """<save_dir>/<prefix>_{epoch:04d}.ckpt (reference: save/model_{epoch:04d}.pt).
+    backend="orbax" writes an orbax PyTree checkpoint directory instead."""
+    if backend == "orbax":
+        path = os.path.join(save_dir, f"{prefix}_{step_or_epoch:04d}.orbax")
+        save_checkpoint_orbax(path, state)
+        return path
     path = os.path.join(save_dir, f"{prefix}_{step_or_epoch:04d}.ckpt")
     save_checkpoint(path, state)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (ecosystem-standard: async-capable, sharded-array aware)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, state: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ocp.PyTreeCheckpointer().save(path, _to_host(state))
+
+
+def load_checkpoint_orbax(path: str, target: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if target is None:
+        return restored
+    # graft restored leaves onto the target's pytree node types
+    t_flat = _flatten_dict(_to_host(target))
+    r_flat = _flatten_dict(restored)
+    merged = {k: r_flat.get(k, v) for k, v in t_flat.items()}
+    leaves_tgt, treedef = jax.tree.flatten(target)
+    return jax.tree.unflatten(treedef, [merged[k] for k in _flatten_dict(_to_host(target))])

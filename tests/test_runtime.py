@@ -126,3 +126,17 @@ def test_checkpoint_preserves_namedtuple_nodes(tmp_path):
     restored = CK.load_checkpoint(p, state)
     assert isinstance(restored, TrainState)
     assert int(restored.step) == 3
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from oakink2_tamf_tpu.parallel.train import TrainState
+
+    state = TrainState(
+        step=jnp.asarray(42), params={"dense": {"w": jnp.ones((3, 2)) * 2}}, opt_state=()
+    )
+    p = str(tmp_path / "ck.orbax")
+    CK.save_checkpoint_orbax(p, state)
+    restored = CK.load_checkpoint_orbax(p, state)
+    assert isinstance(restored, TrainState)
+    assert int(restored.step) == 42
+    np.testing.assert_array_equal(np.asarray(restored.params["dense"]["w"]), np.ones((3, 2)) * 2)
