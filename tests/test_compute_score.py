@@ -31,7 +31,7 @@ def setup(tmp_path_factory):
     CS.reg_score_param(reg)
     parser = argparse.ArgumentParser()
     reg.hook(parser)
-    reg.parse(parser, ["--cfg", SMOKE])
+    reg.parse(parser, ["--cfg", SMOKE, "--score.sdf_resolution", "32", "--score.frame_stride", "16"])
 
     dataset = common.build_dataset(reg, "test")
     mano_stack = stack_mano_models(

@@ -63,7 +63,8 @@ def test_train_r_e2e(tmp_path):
 
     state = run_in_tmp(
         tmp_path, train_r.main,
-        ["--cfg", SMOKE, "--exp_id", "smoke_r", "--train.num_epoch", "1", "--commit"],
+        ["--cfg", SMOKE, "--exp_id", "smoke_r", "--train.num_epoch", "1",
+         "--train.val_freq", "0", "--commit"],
     )
     import jax
 
