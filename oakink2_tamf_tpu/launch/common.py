@@ -7,19 +7,12 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 
 import jax
 
-from ..data.adaptors import (
-    ActionRecognitionAdapter,
-    ConcatDataset,
-    GaussianPerturbSampleAdaptor,
-    GeneratedPoseReprSampleAdaptor,
-    IdentitySampleAdaptor,
-)
 from ..data.collate import SegmentCollate
 from ..data.loader import DataLoader
 from ..data.segment import InteractionSegmentData

@@ -25,7 +25,7 @@ import functools
 import gzip
 import html
 import os
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

@@ -12,7 +12,6 @@ from typing import Any, Sequence
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..core import diffusion as D
 from ..data.collate import SegmentCollate

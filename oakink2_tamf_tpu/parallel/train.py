@@ -15,7 +15,6 @@ Optimizer parity (launch/train.py:469-479, util/net_util.py:13):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -28,9 +27,8 @@ from ..models import losses as LL
 from ..models.encoder import SegmentEncoder
 from ..models.mdm_g import InteractionSegmentMDM
 from ..models.refine_r import SegmentRefineNet, refine_forward
-from .mesh import DATA_AXIS, batch_sharding, replicated
+from .mesh import batch_sharding, replicated
 
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ The 21-joint connectivity follows core/mano.py's output ordering.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
