@@ -25,9 +25,21 @@ from ..runtime.config import ConfigRegistry
 _logger = logging.getLogger(__name__)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first compiles are 20-40s on TPU;
+    subsequent launcher runs reuse them."""
+    cache_dir = os.environ.get("TAMF_COMPILE_CACHE", os.path.expanduser("~/.cache/tamf_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knob
+        pass
+
+
 def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
     """Parse config, set up run dir + logging. Returns (registry, run_dir)."""
     maybe_init_distributed()
+    _enable_compile_cache()
 
     reg = ConfigRegistry(prog)
     for fn in register_fns:

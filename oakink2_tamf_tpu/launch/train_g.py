@@ -179,6 +179,15 @@ def main(argv=None):
     seed = int(reg.select("runtime").get("seed", 0))
     key = jax.random.PRNGKey(seed)
 
+    # optional device trace (runtime.profile_dir or TAMF_PROFILE_DIR)
+    import os as _os
+
+    profile_dir = reg.values.get("runtime.profile_dir") or _os.environ.get("TAMF_PROFILE_DIR")
+    profile_span = (10, 20)
+
+    from ..runtime.profiler import StepTimer
+
+    timer = StepTimer()
     global_step = 0
     for epoch_id in range(num_epoch):
         train_loader.set_epoch(epoch_id)
@@ -193,8 +202,15 @@ def main(argv=None):
                 t, w = resampler.sample(k_t, dbatch["pose_repr"].shape[0])
                 dbatch = dict(dbatch, t=np.asarray(t), t_weights=np.asarray(w))
             sbatch = shard_batch(dbatch, mesh)
+            if profile_dir and global_step == profile_span[0] and is_coordinator():
+                jax.profiler.start_trace(profile_dir)
             state, metrics = step_fn(state, sbatch, k_step)
             global_step += 1
+            timer.tick()
+            if profile_dir and global_step == profile_span[1] and is_coordinator():
+                jax.device_get(metrics["loss"])
+                jax.profiler.stop_trace()
+                _logger.info("profiler trace (steps %d-%d) -> %s", *profile_span, profile_dir)
             if resampler is not None:
                 resampler.update_with_losses(
                     jax.device_get(metrics["per_sample_t"]),
@@ -206,8 +222,9 @@ def main(argv=None):
         if not last_metrics:
             last_metrics = _scalars(metrics)
         _logger.info(
-            "train epoch %04d conclude | loss: %f | %.1fs",
+            "train epoch %04d conclude | loss: %f | %.1fs | %.1f samples/s",
             epoch_id, last_metrics.get("loss", float("nan")), time.time() - t_epoch,
+            timer.throughput(int(reg.select("train").get("batch_size", 64))),
         )
 
         if is_coordinator() and run_dir.commit and (
