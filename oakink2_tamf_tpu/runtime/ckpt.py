@@ -134,12 +134,11 @@ def load_checkpoint(path: str, target: Any = None, strict: bool = False) -> Any:
         _logger.info("checkpoint missing keys (kept init): %s", missing[:8])
     if unexpected:
         _logger.info("checkpoint unexpected keys (ignored): %s", unexpected[:8])
+    # graft restored leaves back in the target's exact leaf order (path-keyed,
+    # so node types — NamedTuples, dataclasses — and orderings are preserved)
     merged = {k: flat.get(k, v) for k, v in t_flat.items()}
-    restored = _unflatten_dict(merged)
-    # preserve the target's pytree node types (NamedTuples / dataclasses)
-    leaves_tgt, treedef = jax.tree.flatten(target)
-    leaves_new = jax.tree.leaves(restored)
-    assert len(leaves_tgt) == len(leaves_new), "checkpoint structure mismatch"
+    _, treedef = jax.tree.flatten(target)
+    leaves_new = [merged[k] for k in t_flat]  # t_flat insertion order == leaf order
     return jax.tree.unflatten(treedef, leaves_new)
 
 
