@@ -18,5 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip recompiles
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/tamf_xla_tests")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
