@@ -129,6 +129,13 @@ def main(argv=None):
     writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,
                           enabled=run_dir.commit and is_coordinator())
 
+    # single jitted val forward (reused across epochs -> one compile)
+    eval_fn = jax.jit(
+        lambda p, b: LL.segment_refine_loss(
+            assets, loss_cfg, refine_forward_eval(net, p, mano_stack, b), b
+        )
+    )
+
     num_epoch = int(train_cfg.get("num_epoch", 400))
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0)))
@@ -158,12 +165,6 @@ def main(argv=None):
         if val_freq and is_coordinator() and (
             (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
-            eval_fn = jax.jit(
-                lambda p, b: LL.segment_refine_loss(
-                    assets, loss_cfg,
-                    refine_forward_eval(net, p, mano_stack, b), b,
-                )
-            )
             for split in ("val", "test"):
                 try:
                     eval_base = common.build_dataset(reg, split)
