@@ -83,6 +83,17 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Bounded put that re-checks `stop` so an early-exiting consumer
+            (e.g. an eval loop breaking after N batches) never strands us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -90,10 +101,11 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, chunk))
-                        q.put(self.collate_fn(samples))
-                q.put(None)
+                        if not put_checked(self.collate_fn(samples)):
+                            return
+                put_checked(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_checked(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
