@@ -73,8 +73,19 @@ def main(argv=None):
         np.zeros((1,), np.int32), cond,
     )
     if sample_cfg.get("model_filepath"):
-        params = load_checkpoint(sample_cfg["model_filepath"], params, strict=False)
-        _logger.info("loaded model from %s", sample_cfg["model_filepath"])
+        fp = sample_cfg["model_filepath"]
+        if fp.endswith(".pt"):  # trained REFERENCE checkpoint: port the weights
+            from ..interop.torch_port import load_reference_checkpoint
+
+            m = reg.select("model")
+            params = load_reference_checkpoint(
+                fp, "g", num_layers=int(m.get("num_layers", 8)),
+                num_heads=int(m.get("num_heads", 4)),
+            )
+            _logger.info("ported reference torch checkpoint %s", fp)
+        else:
+            params = load_checkpoint(fp, params, strict=False)
+            _logger.info("loaded model from %s", fp)
 
     sampler = PT.make_g_sampler(model, sched, sampler=sample_cfg.get("sampler", "ddpm"), mesh=mesh)
     params_r = replicate(params, mesh)

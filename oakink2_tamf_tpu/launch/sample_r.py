@@ -79,8 +79,19 @@ def main(argv=None):
     h2o0 = np.zeros(dprobe["sample_pose_repr"].shape[:2] + (778,), np.float32)
     params = net.init(jax.random.PRNGKey(0), dprobe["sample_pose_repr"], h2o0, cond)
     if sample_cfg.get("model_filepath"):
-        params = load_checkpoint(sample_cfg["model_filepath"], params, strict=False)
-        _logger.info("loaded refine model from %s", sample_cfg["model_filepath"])
+        fp = sample_cfg["model_filepath"]
+        if fp.endswith(".pt"):  # trained REFERENCE checkpoint: port the weights
+            from ..interop.torch_port import load_reference_checkpoint
+
+            m = reg.select("model")
+            params = load_reference_checkpoint(
+                fp, "r", num_layers=int(m.get("num_layers", 8)),
+                num_heads=int(m.get("num_heads", 4)),
+            )
+            _logger.info("ported reference torch checkpoint %s", fp)
+        else:
+            params = load_checkpoint(fp, params, strict=False)
+            _logger.info("loaded refine model from %s", fp)
 
     fwd = jax.jit(
         lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False)

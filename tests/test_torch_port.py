@@ -1,0 +1,162 @@
+"""End-to-end checkpoint-port parity: build a torch replica of the reference
+G/encoder architectures (same state_dict key names, same math — the reference
+modules themselves import CLIP/manotorch which aren't installable), convert its
+weights with interop.torch_port, and require the flax forward to match the
+torch forward to float tolerance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+
+from oakink2_tamf_tpu.interop import torch_port as TP
+from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
+
+D, HEADS, FF, LAYERS = 32, 4, 64, 2
+L, BS, NOBJ = 10, 3, 2
+
+
+def pe_table(d, max_len=5000):
+    pe = np.zeros((max_len, d), np.float32)
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * (-np.log(10000.0) / d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return torch.from_numpy(pe)
+
+
+class TorchRefG(tnn.Module):
+    """Reference InterationSegmentMDM math (mdm.py:134-174), batch-first,
+    text_emb injected directly (CLIP runs outside), same state_dict keys."""
+
+    def __init__(self):
+        super().__init__()
+        self.hand_shape_process = tnn.Module()
+        self.hand_shape_process.shape_embed = tnn.Linear(10, D)
+        self.obj_embed_process = tnn.Module()
+        self.obj_embed_process.embedding = tnn.Linear(768, D)
+        self.input_process = tnn.Module()
+        self.input_process.poseEmbedding = tnn.Linear(99, D)
+        self.obj_input_process = tnn.Module()
+        self.obj_input_process.poseEmbedding = tnn.Linear(9, D)
+        self.input_merge = tnn.Sequential(tnn.Linear(2 * D, D), tnn.SiLU(), tnn.Linear(D, D))
+        self.embed_timestep = tnn.Module()
+        self.embed_timestep.time_embed = tnn.Sequential(tnn.Linear(D, D), tnn.SiLU(), tnn.Linear(D, D))
+        self.embed_text = tnn.Linear(512, D)
+        layer = tnn.TransformerEncoderLayer(
+            d_model=D, nhead=HEADS, dim_feedforward=FF, dropout=0.0,
+            activation="gelu", batch_first=True,
+        )
+        self.seqTransEncoder = tnn.TransformerEncoder(layer, num_layers=LAYERS)
+        self.output_process = tnn.Module()
+        self.output_process.poseFinal = tnn.Linear(D, 99)
+        self.register_buffer("pe", pe_table(D))
+
+    def forward(self, x, t, text_emb, hand_side, shape, obj_traj, obj_embedding):
+        emb_t = self.embed_timestep.time_embed(self.pe[t])  # [bs, D]
+        emb_text = self.embed_text(text_emb)
+        e0 = torch.zeros(D)
+        e0[0] = 1.0
+        emb_hs = hand_side.float()[:, None] * e0[None]
+        emb_shape = self.hand_shape_process.shape_embed(shape.mean(dim=1))
+        emb_obj = self.obj_embed_process.embedding(obj_embedding.mean(dim=1))
+        emb = torch.stack([emb_t, emb_text, emb_hs, emb_shape, emb_obj], dim=1)  # [bs,5,D]
+
+        hand = self.input_process.poseEmbedding(x)  # [bs, L, D]
+        obj = self.obj_input_process.poseEmbedding(obj_traj).mean(dim=1)  # [bs, L, D]
+        merged = self.input_merge(torch.cat([hand, obj], dim=-1))
+
+        seq = torch.cat([emb, merged], dim=1)
+        seq = seq + self.pe[: seq.shape[1]][None]
+        out = self.seqTransEncoder(seq)[:, 5:]
+        return self.output_process.poseFinal(out)
+
+
+def test_g_checkpoint_port_end_to_end():
+    torch.manual_seed(0)
+    ref = TorchRefG().eval()
+    rng = np.random.default_rng(0)
+
+    x = rng.normal(size=(BS, L, 99)).astype(np.float32)
+    t = np.array([3, 100, 999], np.int64)
+    text_emb = rng.normal(size=(BS, 512)).astype(np.float32)
+    hand_side = np.array([0, 1, 0], np.int32)
+    shape = rng.normal(size=(BS, L, 10)).astype(np.float32)
+    obj_traj = rng.normal(size=(BS, NOBJ, L, 9)).astype(np.float32)
+    obj_embedding = rng.normal(size=(BS, NOBJ, 768)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(text_emb),
+            torch.from_numpy(hand_side.astype(np.int64)), torch.from_numpy(shape),
+            torch.from_numpy(obj_traj), torch.from_numpy(obj_embedding),
+        ).numpy()
+
+    sd = {k: v for k, v in ref.state_dict().items() if k != "pe"}
+    variables = TP.convert_g_state_dict(sd, num_layers=LAYERS, num_heads=HEADS)
+
+    model = InteractionSegmentMDM(
+        MDMConfig(latent_dim=D, ff_size=FF, num_layers=LAYERS, num_heads=HEADS, dropout=0.0)
+    )
+    cond = {
+        "text_emb": jnp.asarray(text_emb),
+        "hand_side": jnp.asarray(hand_side),
+        "shape": jnp.asarray(shape),
+        "obj_traj": jnp.asarray(obj_traj),
+        "obj_embedding": jnp.asarray(obj_embedding),
+        "obj_mask": jnp.ones((BS, NOBJ), bool),  # all real -> masked mean == plain mean
+    }
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(t), cond, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+
+def test_encoder_checkpoint_port_shapes():
+    """Structural check for the encoder converter (head Sequential remap +
+    classification_token buffer)."""
+    from oakink2_tamf_tpu.models.encoder import EncoderConfig, SegmentEncoder
+
+    d, ff, layers, heads = 16, 32, 2, 4
+    sd = {}
+    def lin(prefix, i, o):
+        sd[f"{prefix}.weight"] = torch.randn(o, i)
+        sd[f"{prefix}.bias"] = torch.randn(o)
+
+    lin("hand_shape_process.shape_embed", 10, d)
+    lin("obj_embed_process.embedding", 768, d)
+    lin("input_process.poseEmbedding", 99, d)
+    lin("obj_input_process.poseEmbedding", 9, d)
+    lin("input_merge.0", 2 * d, d)
+    lin("input_merge.2", d, d)
+    for i in range(layers):
+        p = f"seqTransEncoder.layers.{i}"
+        sd[f"{p}.self_attn.in_proj_weight"] = torch.randn(3 * d, d)
+        sd[f"{p}.self_attn.in_proj_bias"] = torch.randn(3 * d)
+        lin(f"{p}.self_attn.out_proj", d, d)
+        lin(f"{p}.linear1", d, ff)
+        lin(f"{p}.linear2", ff, d)
+        sd[f"{p}.norm1.weight"] = torch.randn(d); sd[f"{p}.norm1.bias"] = torch.randn(d)
+        sd[f"{p}.norm2.weight"] = torch.randn(d); sd[f"{p}.norm2.bias"] = torch.randn(d)
+    lin("output_process.poseFinal.0", d, d)
+    lin("output_process.poseFinal.2", d, d)
+    lin("output_process.poseFinal.4", d, 70)
+    sd["classification_token"] = torch.zeros(1, 1, d)
+
+    variables = TP.convert_encoder_state_dict(sd, num_layers=layers, num_heads=heads)
+    model = SegmentEncoder(EncoderConfig(latent_dim=d, ff_size=ff, num_layers=layers, num_heads=heads, dropout=0.0))
+    rng = np.random.default_rng(1)
+    cond = {
+        "hand_side": jnp.asarray([0, 1], jnp.int32),
+        "shape": jnp.asarray(rng.normal(size=(2, L, 10)).astype(np.float32)),
+        "obj_traj": jnp.asarray(rng.normal(size=(2, NOBJ, L, 9)).astype(np.float32)),
+        "obj_embedding": jnp.asarray(rng.normal(size=(2, NOBJ, 768)).astype(np.float32)),
+        "obj_mask": jnp.ones((2, NOBJ), bool),
+    }
+    out = model.apply(
+        variables, jnp.asarray(rng.normal(size=(2, L, 99)).astype(np.float32)), cond
+    )
+    assert out["encoding"].shape == (2, d)
+    assert out["activation"].shape == (2, 70)
+    assert np.all(np.isfinite(np.asarray(out["activation"])))
