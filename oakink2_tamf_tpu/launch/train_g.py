@@ -179,6 +179,19 @@ def main(argv=None):
     seed = int(reg.select("runtime").get("seed", 0))
     key = jax.random.PRNGKey(seed)
 
+    # held-out loaders, built once (rank-0 only — reference loads val/test
+    # datasets on rank 0 only, launch/train.py:352-384)
+    eval_loaders = {}
+    if int(train_cfg.get("val_freq", 0) or 0) and is_coordinator():
+        for split in ("val", "test"):
+            try:
+                ds = common.build_dataset(reg, split)
+                ld = common.build_loader(reg, ds, split, shuffle=False, drop_last=True)
+                if len(ld):
+                    eval_loaders[split] = ld
+            except (ValueError, KeyError):
+                pass
+
     # optional device trace (runtime.profile_dir or TAMF_PROFILE_DIR)
     import os as _os
 
@@ -237,14 +250,7 @@ def main(argv=None):
         if val_freq and is_coordinator() and (
             (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
-            for split in ("val", "test"):
-                try:
-                    eval_ds = common.build_dataset(reg, split)
-                except (ValueError, KeyError):
-                    continue
-                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
-                if len(eval_loader) == 0:
-                    continue
+            for split, eval_loader in eval_loaders.items():
                 key, k_eval = jax.random.split(key)
                 mse = evaluate_g(model, sched, state.params, eval_loader, clip, mesh, k_eval)
                 _logger.info("%s epoch %04d sample-vs-gt masked MSE: %f", split, epoch_id, mse)
