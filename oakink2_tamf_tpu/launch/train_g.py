@@ -49,13 +49,13 @@ def build_model(reg) -> InteractionSegmentMDM:
     )
 
 
-def evaluate_g(model, sched, params, loader, clip, mesh, key, max_batches: int = 2):
+def evaluate_g(sampler, params, loader, clip, mesh, key, max_batches: int = 2):
     """val/test pass (reference launch/train.py:577-656): sample the model on
     held-out segments and report masked MSE of the generated pose_repr vs GT.
-    Batched scan sampling replaces the reference's per-batch 1000-step loop."""
+    Batched scan sampling replaces the reference's per-batch 1000-step loop.
+    `sampler` is a pre-built jitted make_g_sampler callable (one compile)."""
     from ..parallel.mesh import replicate as _rep, shard_batch as _shard
 
-    sampler = PT.make_g_sampler(model, sched, mesh=mesh)
     params_r = _rep(params, mesh)
     mses, n = [], 0
     for batch in loader:
@@ -182,6 +182,7 @@ def main(argv=None):
     # held-out loaders, built once (rank-0 only — reference loads val/test
     # datasets on rank 0 only, launch/train.py:352-384)
     eval_loaders = {}
+    eval_sampler = None
     if int(train_cfg.get("val_freq", 0) or 0) and is_coordinator():
         for split in ("val", "test"):
             try:
@@ -191,6 +192,8 @@ def main(argv=None):
                     eval_loaders[split] = ld
             except (ValueError, KeyError):
                 pass
+        if eval_loaders:
+            eval_sampler = PT.make_g_sampler(model, sched, mesh=mesh)
 
     # optional device trace (runtime.profile_dir or TAMF_PROFILE_DIR)
     import os as _os
@@ -252,7 +255,7 @@ def main(argv=None):
         ):
             for split, eval_loader in eval_loaders.items():
                 key, k_eval = jax.random.split(key)
-                mse = evaluate_g(model, sched, state.params, eval_loader, clip, mesh, k_eval)
+                mse = evaluate_g(eval_sampler, state.params, eval_loader, clip, mesh, k_eval)
                 _logger.info("%s epoch %04d sample-vs-gt masked MSE: %f", split, epoch_id, mse)
                 writer.add_scalar(f"{split}/sample_mse", mse, global_step)
 
