@@ -24,9 +24,10 @@ def check_mesh_contains(
     return _inside_mesh_numpy(verts, faces, points, hash_resolution)
 
 
-def _inside_mesh_numpy(verts, faces, points, resolution=512) -> np.ndarray:
+def _inside_mesh_numpy(verts, faces, points, resolution=512, chunk: int = 2048) -> np.ndarray:
+    """Vectorized fallback: chunks of points against ALL triangles at once
+    (no per-point python loop — SIV queries run this on ~1e6-point grids)."""
     tri = verts[faces].astype(np.float64)  # [F, 3, 3]
-    n_tri = tri.shape[0]
     bmin = tri.reshape(-1, 3).min(axis=0)
     bmax = tri.reshape(-1, 3).max(axis=0)
     ext = np.where(bmax - bmin > 0, bmax - bmin, 1.0)
@@ -39,52 +40,39 @@ def _inside_mesh_numpy(verts, faces, points, resolution=512) -> np.ndarray:
     in_aabb = np.all((pts >= 0) & (pts <= resolution), axis=1)
     if not in_aabb.any():
         return contains
-    q = pts[in_aabb]
+    q_all = pts[in_aabb]
 
-    # cell ids
-    cell_q = np.clip(q[:, :2].astype(int), 0, resolution - 1)
-    # triangle bbox cells
-    t0 = np.clip(tri[:, :, :2].min(axis=1).astype(int), 0, resolution - 1)
-    t1 = np.clip(tri[:, :, :2].max(axis=1).astype(int), 0, resolution - 1)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]  # [F, 3]
+    A00, A01 = a[:, 0] - c[:, 0], b[:, 0] - c[:, 0]
+    A10, A11 = a[:, 1] - c[:, 1], b[:, 1] - c[:, 1]
+    det = A00 * A11 - A01 * A10
+    s_det = np.sign(det)
+    abs_det = np.abs(det)
+    n = np.cross(c - a, b - a)  # [F, 3]
+    nz = n[:, 2]
+    abs_nz = np.abs(nz)
+    s_nz = np.sign(nz)
+    valid_tri = (det != 0) & (nz != 0)
 
-    # bucket triangles by cell (python dict of lists — eval-side, small meshes)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for t in range(n_tri):
-        for x in range(t0[t, 0], t1[t, 0] + 1):
-            for y in range(t0[t, 1], t1[t, 1] + 1):
-                buckets.setdefault((x, y), []).append(t)
-
-    above = np.zeros(len(q), dtype=np.int64)
-    below = np.zeros(len(q), dtype=np.int64)
-    for i in range(len(q)):
-        cand = buckets.get((cell_q[i, 0], cell_q[i, 1]))
-        if not cand:
-            continue
-        T = tri[cand]  # [k, 3, 3]
-        a, b, c = T[:, 0], T[:, 1], T[:, 2]
-        A00, A01 = a[:, 0] - c[:, 0], b[:, 0] - c[:, 0]
-        A10, A11 = a[:, 1] - c[:, 1], b[:, 1] - c[:, 1]
-        y0, y1 = q[i, 0] - c[:, 0], q[i, 1] - c[:, 1]
-        det = A00 * A11 - A01 * A10
-        s = np.sign(det)
-        ad = np.abs(det)
-        u = (A11 * y0 - A01 * y1) * s
-        v = (-A10 * y0 + A00 * y1) * s
+    res_above = np.zeros(len(q_all), dtype=np.int64)
+    res_below = np.zeros(len(q_all), dtype=np.int64)
+    for start in range(0, len(q_all), chunk):
+        q = q_all[start : start + chunk]  # [P, 3]
+        y0 = q[:, 0:1] - c[None, :, 0]  # [P, F]
+        y1 = q[:, 1:2] - c[None, :, 1]
+        u = (A11 * y0 - A01 * y1) * s_det
+        v = (-A10 * y0 + A00 * y1) * s_det
         suv = u + v
-        hit = (det != 0) & (0 < u) & (u < ad) & (0 < v) & (v < ad) & (0 < suv) & (suv < ad)
-        if not hit.any():
-            continue
-        a, b, c = a[hit], b[hit], c[hit]
-        v1 = c - a
-        v2 = b - a
-        n = np.cross(v1, v2)
-        alpha = n[:, 0] * (a[:, 0] - q[i, 0]) + n[:, 1] * (a[:, 1] - q[i, 1])
-        nz = n[:, 2]
-        ok = nz != 0
-        depth = a[ok, 2] * np.abs(nz[ok]) + alpha[ok] * np.sign(nz[ok])
-        up = depth >= q[i, 2] * np.abs(nz[ok])
-        above[i] = int(up.sum())
-        below[i] = int((~up).sum())
+        hit = (
+            valid_tri[None]
+            & (0 < u) & (u < abs_det) & (0 < v) & (v < abs_det)
+            & (0 < suv) & (suv < abs_det)
+        )
+        alpha = n[:, 0] * (a[None, :, 0] - q[:, 0:1]) + n[:, 1] * (a[None, :, 1] - q[:, 1:2])
+        depth = a[None, :, 2] * abs_nz + alpha * s_nz  # [P, F]
+        up = depth >= q[:, 2:3] * abs_nz[None]
+        res_above[start : start + chunk] = (hit & up).sum(axis=1)
+        res_below[start : start + chunk] = (hit & ~up).sum(axis=1)
 
-    contains[in_aabb] = (above % 2 == 1) & (below % 2 == 1)
+    contains[in_aabb] = (res_above % 2 == 1) & (res_below % 2 == 1)
     return contains
