@@ -1,0 +1,89 @@
+"""Golden test: core/mano LBS vs an independent straight-line numpy
+implementation (explicit loops, no einsum sharing with the module under test).
+Catches silent einsum/kintree/skinning mistakes the property tests can't."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from oakink2_tamf_tpu.core import mano as M
+from oakink2_tamf_tpu.core import transforms as T
+
+
+def numpy_mano_forward(model, pose_quat, betas):
+    """Loop-based MANO LBS for ONE sample. Returns (verts, joints21) with
+    center_idx=0 recentering, mirroring manotorch semantics."""
+    v_template = np.asarray(model.v_template, np.float64)
+    shapedirs = np.asarray(model.shapedirs, np.float64)
+    posedirs = np.asarray(model.posedirs, np.float64)
+    j_reg = np.asarray(model.j_regressor, np.float64)
+    weights = np.asarray(model.skin_weights, np.float64)
+
+    # rotations
+    R = np.asarray(T.quat_to_rotmat(jnp.asarray(pose_quat)), np.float64)  # [16,3,3]
+
+    # shape blend
+    v_shaped = v_template + shapedirs @ betas.astype(np.float64)
+    j_rest = j_reg @ v_shaped  # [16, 3]
+
+    # pose blend
+    feat = np.concatenate([(R[k] - np.eye(3)).reshape(-1) for k in range(1, 16)])
+    v_posed = v_shaped + posedirs @ feat
+
+    # FK
+    G = [None] * 16
+    G[0] = np.eye(4)
+    G[0][:3, :3] = R[0]
+    G[0][:3, 3] = j_rest[0]
+    for k in range(1, 16):
+        p = M.PARENTS[k]
+        L = np.eye(4)
+        L[:3, :3] = R[k]
+        L[:3, 3] = j_rest[k] - j_rest[p]
+        G[k] = G[p] @ L
+    G = np.stack(G)
+    posed_joints = G[:, :3, 3].copy()
+
+    # remove rest offset
+    Gc = G.copy()
+    for k in range(16):
+        Gc[k, :3, 3] = G[k, :3, 3] - G[k, :3, :3] @ j_rest[k]
+
+    # skinning (per-vertex loop)
+    verts = np.zeros((M.N_VERTS, 3))
+    for v in range(M.N_VERTS):
+        A = np.zeros((4, 4))
+        for k in range(16):
+            A += weights[v, k] * Gc[k]
+        verts[v] = (A[:3, :3] @ v_posed[v]) + A[:3, 3]
+
+    tips = verts[list(M.TIP_VERT_IDS)]
+    joints = np.concatenate([posed_joints, tips], axis=0)[list(M.JOINT_REORDER)]
+
+    center = joints[0].copy()
+    return verts - center, joints - center
+
+
+def test_mano_matches_independent_numpy():
+    model = M.synthetic_mano_model("right")
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        rv = rng.normal(scale=0.4, size=(16, 3)).astype(np.float32)
+        quat = np.asarray(T.rotvec_to_quat(jnp.asarray(rv)))
+        betas = rng.normal(size=(10,)).astype(np.float32)
+
+        ref_v, ref_j = numpy_mano_forward(model, quat, betas)
+        v, j = M.mano_forward(model, jnp.asarray(quat), jnp.asarray(betas))
+        np.testing.assert_allclose(np.asarray(v), ref_v, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(j), ref_j, atol=2e-5)
+
+
+def test_mano_left_hand_matches_numpy():
+    model = M.synthetic_mano_model("left")
+    rng = np.random.default_rng(1)
+    rv = rng.normal(scale=0.3, size=(16, 3)).astype(np.float32)
+    quat = np.asarray(T.rotvec_to_quat(jnp.asarray(rv)))
+    betas = rng.normal(size=(10,)).astype(np.float32)
+    ref_v, ref_j = numpy_mano_forward(model, quat, betas)
+    v, j = M.mano_forward(model, jnp.asarray(quat), jnp.asarray(betas))
+    np.testing.assert_allclose(np.asarray(v), ref_v, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j), ref_j, atol=2e-5)
