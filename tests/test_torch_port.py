@@ -99,7 +99,7 @@ def test_g_checkpoint_port_end_to_end():
     variables = TP.convert_g_state_dict(sd, num_layers=LAYERS, num_heads=HEADS)
 
     model = InteractionSegmentMDM(
-        MDMConfig(latent_dim=D, ff_size=FF, num_layers=LAYERS, num_heads=HEADS, dropout=0.0)
+        MDMConfig(latent_dim=D, ff_size=FF, num_layers=LAYERS, num_heads=HEADS, dropout=0.0, activation="gelu_exact")
     )
     cond = {
         "text_emb": jnp.asarray(text_emb),

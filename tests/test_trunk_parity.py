@@ -62,7 +62,7 @@ def test_encoder_layer_matches_torch():
     with torch.no_grad():
         ref = tl(torch.from_numpy(x)).numpy()
 
-    layer = EncoderLayer(d_model=D_MODEL, num_heads=HEADS, ff_size=FF, dropout=0.0)
+    layer = EncoderLayer(d_model=D_MODEL, num_heads=HEADS, ff_size=FF, dropout=0.0, activation="gelu_exact")
     params = {"params": port_weights(tl)}
     out = layer.apply(params, jnp.asarray(x), deterministic=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
@@ -88,7 +88,8 @@ def test_stacked_encoder_matches_torch():
         "params": {f"layer_{i}": port_weights(enc.layers[i]) for i in range(3)}
     }
     mine = TransformerEncoder(
-        d_model=D_MODEL, num_heads=HEADS, ff_size=FF, num_layers=3, dropout=0.0
+        d_model=D_MODEL, num_heads=HEADS, ff_size=FF, num_layers=3, dropout=0.0,
+        activation="gelu_exact",
     )
     out = mine.apply(params, jnp.asarray(x), deterministic=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
