@@ -181,7 +181,9 @@ def make_schedule(
     posterior_log_variance_clipped = np.log(
         np.append(posterior_variance[1], posterior_variance[1:])
     )
-    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    # host numpy leaves: the schedule is a compile-time constant of every
+    # jitted chain; device leaves would D2H-fetch at lowering (slow on tunnels)
+    f32 = lambda a: np.asarray(a, np.float32)
     return DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
@@ -198,9 +200,9 @@ def make_schedule(
         posterior_mean_coef2=f32(
             (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
         ),
-        timestep_map=jnp.asarray(timestep_map),
-        rescale_factor=jnp.asarray(
-            1000.0 / original_T if rescale_timesteps else 1.0, jnp.float32
+        timestep_map=np.asarray(timestep_map),
+        rescale_factor=np.asarray(
+            1000.0 / original_T if rescale_timesteps else 1.0, np.float32
         ),
     )
 

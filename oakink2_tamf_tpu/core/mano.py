@@ -53,14 +53,19 @@ JOINT_REORDER = (0, 13, 14, 15, 16, 1, 2, 3, 17, 4, 5, 6, 18, 10, 11, 12, 19, 7,
 
 
 class ManoModel(NamedTuple):
-    """MANO template data as a pytree of jnp arrays (device-resident constants)."""
+    """MANO template data as a pytree of HOST numpy arrays.
 
-    v_template: jax.Array  # [778, 3]
-    shapedirs: jax.Array  # [778, 3, 10]
-    posedirs: jax.Array  # [778, 3, 135]
-    j_regressor: jax.Array  # [16, 778]
-    skin_weights: jax.Array  # [778, 16]
-    faces: jax.Array  # [F, 3] int32
+    Host residency is deliberate: these are compile-time constants of every
+    jitted consumer, and numpy leaves lower to MLIR constants directly, while
+    device arrays would be fetched back D2H during lowering (measured: minutes
+    through a remote TPU tunnel)."""
+
+    v_template: np.ndarray  # [778, 3]
+    shapedirs: np.ndarray  # [778, 3, 10]
+    posedirs: np.ndarray  # [778, 3, 135]
+    j_regressor: np.ndarray  # [16, 778]
+    skin_weights: np.ndarray  # [778, 16]
+    faces: np.ndarray  # [F, 3] int32
 
 
 # ---------------------------------------------------------------------------
@@ -120,13 +125,16 @@ def load_mano_model(mano_assets_root: str, side: str = "right") -> ManoModel:
     path = _find_mano_pkl(mano_assets_root, side)
     with open(path, "rb") as f:
         data = _ChumpyFreeUnpickler(io.BytesIO(f.read()), encoding="latin1").load()
+    # NOTE: leaves stay HOST numpy arrays. Jitted consumers embed them as
+    # MLIR constants directly from host memory; device-resident leaves would
+    # force a D2H fetch per array at lowering time (minutes over a TPU tunnel).
     return ManoModel(
-        v_template=jnp.asarray(_to_np(data["v_template"]), jnp.float32),
-        shapedirs=jnp.asarray(_to_np(data["shapedirs"])[..., :N_SHAPE], jnp.float32),
-        posedirs=jnp.asarray(_to_np(data["posedirs"]), jnp.float32),
-        j_regressor=jnp.asarray(_to_np(data["J_regressor"]), jnp.float32),
-        skin_weights=jnp.asarray(_to_np(data["weights"]), jnp.float32),
-        faces=jnp.asarray(_to_np(data["f"]).astype(np.int32)),
+        v_template=np.asarray(_to_np(data["v_template"]), np.float32),
+        shapedirs=np.asarray(_to_np(data["shapedirs"])[..., :N_SHAPE], np.float32),
+        posedirs=np.asarray(_to_np(data["posedirs"]), np.float32),
+        j_regressor=np.asarray(_to_np(data["J_regressor"]), np.float32),
+        skin_weights=np.asarray(_to_np(data["weights"]), np.float32),
+        faces=_to_np(data["f"]).astype(np.int32),
     )
 
 
@@ -182,13 +190,14 @@ def synthetic_mano_model(side: str = "right", seed: int = 0) -> ManoModel:
         v_template = v_template * np.array([1.0, -1.0, 1.0])
         faces = faces[:, ::-1].copy()
 
+    # host-resident leaves (see load_mano_model note)
     return ManoModel(
-        v_template=jnp.asarray(v_template, jnp.float32),
-        shapedirs=jnp.asarray(shapedirs, jnp.float32),
-        posedirs=jnp.asarray(posedirs, jnp.float32),
-        j_regressor=jnp.asarray(jr, jnp.float32),
-        skin_weights=jnp.asarray(skin_weights, jnp.float32),
-        faces=jnp.asarray(faces),
+        v_template=np.asarray(v_template, np.float32),
+        shapedirs=np.asarray(shapedirs, np.float32),
+        posedirs=np.asarray(posedirs, np.float32),
+        j_regressor=np.asarray(jr, np.float32),
+        skin_weights=np.asarray(skin_weights, np.float32),
+        faces=np.asarray(faces, np.int32),
     )
 
 

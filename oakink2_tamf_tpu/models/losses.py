@@ -56,10 +56,11 @@ def load_contact_assets(
         vpe = np.unique(np.sort(e, axis=1), axis=0).astype(np.int32)
         rng = np.random.default_rng(7)
         w = rng.random(M.N_VERTS).astype(np.float32)
+    # host-resident (compile-time constants; see core/mano.ManoModel note)
     return ContactAssets(
-        vpe=jnp.asarray(vpe),
-        v_weights=jnp.asarray(w),
-        v_weights2=jnp.asarray(np.power(w, 1.0 / 2.5)),
+        vpe=np.asarray(vpe),
+        v_weights=np.asarray(w),
+        v_weights2=np.asarray(np.power(w, 1.0 / 2.5), np.float32),
     )
 
 

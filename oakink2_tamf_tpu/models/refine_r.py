@@ -117,8 +117,13 @@ class SegmentRefineNet(nn.Module):
 
 def stack_mano_models(rh: M.ManoModel, lh: M.ManoModel) -> M.ManoModel:
     """Stack both hand models on a leading side axis (0=rh, 1=lh) so the per-
-    sample hand side becomes a gather instead of a python branch."""
-    return jax.tree.map(lambda a, b: jnp.stack([a, b], axis=0), rh, lh)
+    sample hand side becomes a gather instead of a python branch.
+
+    Stays host-resident (np.stack): the stack is a compile-time constant of
+    the jitted geometry; see core/mano.ManoModel."""
+    import numpy as _np
+
+    return jax.tree.map(lambda a, b: _np.stack([_np.asarray(a), _np.asarray(b)], axis=0), rh, lh)
 
 
 def batch_recover_mano(
@@ -132,7 +137,8 @@ def batch_recover_mano(
     Parity with ref :107-140 (per-item loop + pytorch3d normals)."""
 
     def single(pr, sh, side):
-        model = jax.tree.map(lambda a: a[side], mano_stack)
+        # leaves are host numpy constants; wrap before the traced gather
+        model = jax.tree.map(lambda a: jnp.asarray(a)[side], mano_stack)
         verts, joints = M.recover_mano_from_pose_repr(model, pr, sh)
         normals = G.vertex_normals(verts, model.faces)
         return verts, joints, normals

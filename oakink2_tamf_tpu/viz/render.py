@@ -31,7 +31,10 @@ CHAIN_COLORS = ["#d62728", "#1f77b4", "#2ca02c", "#9467bd", "#8c564b"]
 
 
 def _ax3d(fig, pos):
-    ax = fig.add_subplot(pos, projection="3d")
+    if isinstance(pos, tuple):
+        ax = fig.add_subplot(*pos, projection="3d")
+    else:
+        ax = fig.add_subplot(pos, projection="3d")
     ax.set_xticks([])
     ax.set_yticks([])
     ax.set_zticks([])

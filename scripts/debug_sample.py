@@ -36,6 +36,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    common._enable_compile_cache()
+
     from oakink2_tamf_tpu.core import diffusion as D
     from oakink2_tamf_tpu.core import mano as M
     from oakink2_tamf_tpu.data.collate import SegmentCollate

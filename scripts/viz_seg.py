@@ -32,6 +32,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    common._enable_compile_cache()
+
     from oakink2_tamf_tpu.core import mano as M
     from oakink2_tamf_tpu.eval.metrics import transf_merge_obj_pointcloud
     from oakink2_tamf_tpu.models.refine_r import batch_recover_mano, stack_mano_models
