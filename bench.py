@@ -72,14 +72,20 @@ def main():
 
     sample_jit = jax.jit(sample_batched)
     out = sample_jit(params, cond, jax.random.PRNGKey(0))
-    out.block_until_ready()  # compile + warmup
+    _ = float(out[0, 0, 0])  # compile + warmup (value fetch = hard sync)
 
+    # per-rep timing with a scalar value fetch: block_until_ready through the
+    # TPU tunnel was observed to return early with queued work, so each rep is
+    # dispatch -> block -> fetch (the fetch forces true completion)
     n_rep = 3
-    t_start = time.perf_counter()
+    times = []
     for i in range(n_rep):
+        t0 = time.perf_counter()
         out = sample_jit(params, cond, jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
-    elapsed = (time.perf_counter() - t_start) / n_rep
+        out.block_until_ready()
+        _ = float(out[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
     ours_sps = batch / elapsed
 
     # --- reference-structure emulation: bs=1, per-step dispatch ------------
@@ -94,13 +100,13 @@ def main():
     step_jit = jax.jit(one_step)
     xx = jax.random.normal(jax.random.PRNGKey(0), (1, seq_len, 99))
     xx = step_jit(params, cond1, xx, jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(0))
-    xx.block_until_ready()
+    _ = float(xx[0, 0, 0])
 
     t_start = time.perf_counter()
     for i in range(ref_iters):
         t = jnp.full((1,), (steps - 1 - i) % steps, jnp.int32)
         xx = step_jit(params, cond1, xx, t, jax.random.PRNGKey(i))
-    xx.block_until_ready()
+        _ = float(xx[0, 0, 0])  # the reference's python loop syncs every step
     ref_step_time = (time.perf_counter() - t_start) / ref_iters
     ref_sps = 1.0 / (ref_step_time * steps)  # bs=1 sample takes `steps` dispatches
 
