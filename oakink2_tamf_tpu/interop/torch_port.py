@@ -11,8 +11,8 @@ trees so evaluation/sampling continues from the same weights:
 
 Layout rules:
 - torch Linear [out, in] -> flax Dense kernel [in, out]
-- nn.MultiheadAttention packed in_proj [3d, d] -> our fused qkv Dense kernel
-  [d, 3d] (a direct transpose; validated against torch in
+- nn.MultiheadAttention packed in_proj [3d, d] -> flax MHA per-head q/k/v
+  kernels [d, heads, head_dim] (validated against torch in
   tests/test_trunk_parity.py)
 - nn.Sequential indices -> our named submodules (input_merge.0/2 ->
   merge0/merge1, encoder head 0/2/4 -> fc0/1/2, time_embed 0/2 ->
@@ -41,14 +41,25 @@ def _ln(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
 
 
 def _attn(sd: Mapping[str, np.ndarray], prefix: str, num_heads: int) -> dict:
-    """torch packed in_proj [3d, d] -> our fused qkv Dense [d, 3d] (a direct
-    transpose — our attention uses torch's exact packed layout)."""
     w_in = sd[f"{prefix}.in_proj_weight"]  # [3d, d]
     b_in = sd[f"{prefix}.in_proj_bias"]
+    d = w_in.shape[1]
+    head_dim = d // num_heads
+    wq, wk, wv = np.split(w_in, 3, axis=0)
+    bq, bk, bv = np.split(b_in, 3, axis=0)
+
+    def qkv(w, b):
+        return {
+            "kernel": w.T.reshape(d, num_heads, head_dim),
+            "bias": b.reshape(num_heads, head_dim),
+        }
+
     return {
-        "qkv": {"kernel": w_in.T, "bias": b_in},
+        "query": qkv(wq, bq),
+        "key": qkv(wk, bk),
+        "value": qkv(wv, bv),
         "out": {
-            "kernel": sd[f"{prefix}.out_proj.weight"].T,
+            "kernel": sd[f"{prefix}.out_proj.weight"].T.reshape(num_heads, head_dim, d),
             "bias": sd[f"{prefix}.out_proj.bias"],
         },
     }

@@ -65,47 +65,6 @@ class TimestepEmbedder(nn.Module):
         return h
 
 
-class FusedSelfAttention(nn.Module):
-    """Self-attention with a single fused QKV projection.
-
-    flax's MultiHeadDotProductAttention runs three separate [d,d] matmuls for
-    q/k/v; fusing them into one [d,3d] matmul feeds the MXU one bigger, better-
-    pipelined contraction — and matches torch nn.MultiheadAttention's packed
-    in_proj layout exactly (kernel [d,3d] = in_proj_weight.T), which makes the
-    reference-checkpoint port a direct transpose (interop/torch_port.py).
-    Softmax runs in float32 regardless of the compute dtype.
-    """
-
-    d_model: int
-    num_heads: int
-    dropout: float = 0.1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self, x: jax.Array, *, attn_mask: jax.Array | None = None, deterministic: bool = True
-    ) -> jax.Array:
-        d, h = self.d_model, self.num_heads
-        head_dim = d // h
-        bs, s, _ = x.shape
-
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # [bs, s, 3d]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(a):
-            return a.reshape(bs, s, h, head_dim).transpose(0, 2, 1, 3)  # [bs, h, s, hd]
-
-        q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (head_dim**-0.5)
-        if attn_mask is not None:
-            scores = jnp.where(attn_mask, scores, -1e30)
-        w = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        out = out.transpose(0, 2, 1, 3).reshape(bs, s, d)
-        return nn.Dense(d, dtype=self.dtype, name="out")(out)
-
-
 class EncoderLayer(nn.Module):
     """torch nn.TransformerEncoderLayer (post-LN, gelu) in flax.
 
@@ -124,13 +83,15 @@ class EncoderLayer(nn.Module):
     def __call__(
         self, x: jax.Array, *, attn_mask: jax.Array | None = None, deterministic: bool = True
     ) -> jax.Array:
-        attn = FusedSelfAttention(
-            d_model=self.d_model,
+        attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
-            dropout=self.dropout,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
             dtype=self.dtype,
             name="self_attn",
-        )(x, attn_mask=attn_mask, deterministic=deterministic)
+        )(x, x, mask=attn_mask)
         x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
         x = x.astype(self.dtype)
 

@@ -24,14 +24,28 @@ def torch_layer():
 
 
 def port_weights(tl) -> dict:
-    """torch layer state -> flax EncoderLayer params (fused-qkv layout)."""
+    """torch layer state -> flax EncoderLayer params."""
     sd = {k: v.detach().numpy() for k, v in tl.state_dict().items()}
+    w_in = sd["self_attn.in_proj_weight"]  # [3d, d]
+    b_in = sd["self_attn.in_proj_bias"]
+    wq, wk, wv = np.split(w_in, 3, axis=0)
+    bq, bk, bv = np.split(b_in, 3, axis=0)
+
+    def qkv(w, b):
+        return {
+            "kernel": w.T.reshape(D_MODEL, HEADS, HEAD_DIM),
+            "bias": b.reshape(HEADS, HEAD_DIM),
+        }
+
     return {
         "self_attn": {
-            "qkv": {"kernel": sd["self_attn.in_proj_weight"].T,
-                    "bias": sd["self_attn.in_proj_bias"]},
-            "out": {"kernel": sd["self_attn.out_proj.weight"].T,
-                    "bias": sd["self_attn.out_proj.bias"]},
+            "query": qkv(wq, bq),
+            "key": qkv(wk, bk),
+            "value": qkv(wv, bv),
+            "out": {
+                "kernel": sd["self_attn.out_proj.weight"].T.reshape(HEADS, HEAD_DIM, D_MODEL),
+                "bias": sd["self_attn.out_proj.bias"],
+            },
         },
         "linear1": {"kernel": sd["linear1.weight"].T, "bias": sd["linear1.bias"]},
         "linear2": {"kernel": sd["linear2.weight"].T, "bias": sd["linear2.bias"]},
