@@ -102,11 +102,13 @@ def main():
     xx = step_jit(params, cond1, xx, jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(0))
     _ = float(xx[0, 0, 0])
 
+    # per-step python dispatch, device-chained like the torch loop (async
+    # queue, no per-step host sync); ONE final value fetch closes the chain
     t_start = time.perf_counter()
     for i in range(ref_iters):
         t = jnp.full((1,), (steps - 1 - i) % steps, jnp.int32)
         xx = step_jit(params, cond1, xx, t, jax.random.PRNGKey(i))
-        _ = float(xx[0, 0, 0])  # the reference's python loop syncs every step
+    _ = float(xx[0, 0, 0])
     ref_step_time = (time.perf_counter() - t_start) / ref_iters
     ref_sps = 1.0 / (ref_step_time * steps)  # bs=1 sample takes `steps` dispatches
 
