@@ -30,6 +30,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # optional PRNG implementation override (threefry default; 'rbg' is a
+    # faster counter-based generator — set via config because this image's
+    # sitecustomize imports jax before env vars can apply)
+    if os.environ.get("BENCH_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+
     from oakink2_tamf_tpu.core import diffusion as D
     from oakink2_tamf_tpu.data.synthetic import synthetic_batch
     from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
