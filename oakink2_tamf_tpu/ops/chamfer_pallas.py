@@ -17,11 +17,13 @@ path therefore REMAINS THE DEFAULT everywhere; this kernel is kept as the
 explicit-VMEM implementation and a baseline for future kernel work.
 
 Compute/TPU layout:
-- x (hand verts) ride sublane-major as [P1p, 3] per frame (P1p = 778 -> 896);
-- y (object points) ride lane-major as [3, TILE];
-- the [P1p, TILE] distance block is built by VPU broadcasts
-  (dx^2 + dy^2 + dz^2) — the contraction dim is 3, so the MXU has nothing to
-  win; the op is VPU/bandwidth-bound;
+- BOTH operands ride coordinate-major ([5, P1p] / [5, TILE] augmented rows —
+  see _nn_kernel): any array whose MINOR dim is 3 gets tile-padded 3 -> 128
+  by the TPU (8,128) layout, a 42x HBM blowup (measured 8.75 GB on the
+  train-step's [20480,896,3] operand);
+- the [P1p, TILE] squared-distance block is ONE MXU dot_general over the
+  5-row augmented contraction (||x-y||^2 = -2x.y + ||x||^2 + ||y||^2) at
+  HIGHEST precision (bf16 passes would destroy near-contact distances);
 - outputs are lane-major [1, P1p] / [1, TILE] rows; grid = (frames, y tiles)
   with frame-indexed output blocks so the running h2o min/argmin stay resident
   in VMEM across the tile loop.
@@ -43,24 +45,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nn_kernel(x_ref, yt_ref, yv_ref, h2o_d_ref, h2o_i_ref, o2h_d_ref, o2h_i_ref):
+def _dot(a, b, dims):
+    """MXU matmul at HIGHEST precision (bf16 passes would destroy the
+    near-contact distance/sign resolution, ~5e-3 m)."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _nn_kernel(
+    xa_ref, na_ref, ya_ref, yv_ref,
+    h2o_d_ref, h2o_i_ref, o2h_d_ref, o2h_i_ref, o2h_dot_ref,
+):
     """One (frame, y-tile) grid step.
 
-    x_ref:   [1, P1p, 3] hand verts (pad rows = +1e6)
-    yt_ref:  [1, 3, TILE] object tile, coordinate-major
+    Squared distances come from ONE MXU matmul over an augmented coordinate
+    axis: ||x-y||^2 = (-2x)·y + ||x||^2·1 + 1·||y||^2, so with
+      xa = [-2x0, -2x1, -2x2, ||x||^2, 1]  (per hand vert, contraction-major)
+      ya = [ y0,   y1,   y2,  1, ||y||^2]  (per object point)
+    d = xa^T @ ya. Both operands are coordinate-MAJOR [5, N] so the minor dim
+    is the large point axis — a [N, 3] minor layout would be tile-padded
+    3 -> 128 by the TPU (measured: 8.75 GB for the train-step's [20480,896,3]
+    operand). Contraction runs at HIGHEST precision: bf16 passes would lose
+    the near-contact signed distances (~5e-3 m) to cancellation.
+
+    The o2h SIGN numerator n_{i*}·(y_j - x_{i*}) is also fused: a second
+    matmul with augmented normals na = [n0, n1, n2, -n·x, 0] against the SAME
+    ya gives s_ij = n_i·y_j - n_i·x_i, and the argmin-selected s row comes
+    from a one-hot compare — no HBM gathers anywhere (measured: the XLA
+    take_along_axis epilogue cost 766 ms on the train step's 20480 frames).
+
+    xa_ref:  [1, 5, P1p] augmented hand verts (pad lanes: ||x||^2 = +1e30)
+    na_ref:  [1, 5, P1p] augmented hand normals
+    ya_ref:  [1, 5, TILE] augmented object tile
     yv_ref:  [1, 1, TILE] validity (0 for padded object points)
     h2o_d/i: [1, 1, P1p] running min sq-dist / argmin over ALL y tiles
     o2h_d/i: [1, 1, TILE] per-tile min sq-dist / argmin over x
+    o2h_dot: [1, 1, TILE] sign numerator at the o2h argmin
     """
     c = pl.program_id(1)
-    x = x_ref[0]  # [P1p, 3]
-    tile = yt_ref.shape[2]
+    tile = ya_ref.shape[2]
 
-    # pairwise squared distances via VPU broadcasts: [P1p, TILE]
-    d = jnp.zeros((x.shape[0], tile), jnp.float32)
-    for k in range(3):
-        diff = x[:, k : k + 1] - yt_ref[0, k : k + 1, :]
-        d += diff * diff
+    # pairwise squared distances on the MXU: [P1p, TILE]
+    d = _dot(xa_ref[0], ya_ref[0], ((0,), (0,)))
 
     yv = yv_ref[0]  # [1, TILE]
     d_masked = jnp.where(yv > 0, d, BIG)
@@ -82,8 +111,92 @@ def _nn_kernel(x_ref, yt_ref, yv_ref, h2o_d_ref, h2o_i_ref, o2h_d_ref, o2h_i_ref
         h2o_i_ref[0, 0, :] = jnp.where(upd, tile_arg, h2o_i_ref[0, 0, :])
 
     # o2h: per-y-point min over all x (x fully resident)
+    o2h_arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [TILE]
     o2h_d_ref[0, 0, :] = jnp.min(d, axis=0)
-    o2h_i_ref[0, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32)
+    o2h_i_ref[0, 0, :] = o2h_arg
+
+    # sign numerator selected at the argmin row via one-hot compare
+    s = _dot(na_ref[0], ya_ref[0], ((0,), (0,)))  # [P1p, TILE]
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    o2h_dot_ref[0, 0, :] = jnp.sum(
+        jnp.where(rows == o2h_arg[None, :], s, 0.0), axis=0
+    )
+
+
+def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
+    """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot)."""
+    F, P1, _ = x.shape
+    P2 = y.shape[1]
+    P1p = _round_up(P1, 128)
+    P2p = _round_up(P2, tile)
+
+    if y_valid is None:
+        y_valid = jnp.ones((F, P2), bool)
+    if x_normals is None:
+        x_normals = jnp.zeros_like(x)
+
+    # augmented coordinate-major operands (see _nn_kernel): minor dim is the
+    # point axis, so the TPU (8,128) tiling pads nothing material
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    xn = x_normals.astype(jnp.float32)
+    xT = jnp.swapaxes(x, 1, 2)  # [F, 3, P1]
+    nT = jnp.swapaxes(xn, 1, 2)  # [F, 3, P1]
+    yT = jnp.swapaxes(y, 1, 2)  # [F, 3, P2]
+    xsq = jnp.sum(x * x, axis=-1)  # [F, P1]
+    ndx = -jnp.sum(xn * x, axis=-1)  # [F, P1]  (-n·x)
+    ysq = jnp.sum(y * y, axis=-1)  # [F, P2]
+    if P1p != P1:
+        pad = P1p - P1
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
+        nT = jnp.pad(nT, ((0, 0), (0, 0), (0, pad)))
+        xsq = jnp.pad(xsq, ((0, 0), (0, pad)), constant_values=BIG)  # pads lose
+        ndx = jnp.pad(ndx, ((0, 0), (0, pad)))
+    if P2p != P2:
+        pad = P2p - P2
+        yT = jnp.pad(yT, ((0, 0), (0, 0), (0, pad)))
+        ysq = jnp.pad(ysq, ((0, 0), (0, pad)))
+        y_valid = jnp.concatenate([y_valid, jnp.zeros((F, pad), bool)], axis=1)
+    ones_y = jnp.ones((F, 1, P2p), jnp.float32)
+    zeros_x = jnp.zeros((F, 1, P1p), jnp.float32)
+    xa = jnp.concatenate([-2.0 * xT, xsq[:, None], 1.0 + zeros_x], axis=1)  # [F,5,P1p]
+    na = jnp.concatenate([nT, ndx[:, None], zeros_x], axis=1)  # [F, 5, P1p]
+    ya = jnp.concatenate([yT, ones_y, ysq[:, None]], axis=1)  # [F, 5, P2p]
+    yv = y_valid.astype(jnp.int32)[:, None, :]  # [F, 1, P2p]
+
+    n_tiles = P2p // tile
+    grid = (F, n_tiles)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
+        jax.ShapeDtypeStruct((F, 1, P1p), jnp.int32),
+        jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
+        jax.ShapeDtypeStruct((F, 1, P2p), jnp.int32),
+        jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
+    )
+    _col = pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _row = pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            _row,
+        ],
+        out_specs=(_col, _col, _row, _row, _row),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xa, na, ya, yv)
+
+    return (
+        h2o_d[:, 0, :P1],
+        h2o_i[:, 0, :P1],
+        o2h_d[:, 0, :P2],
+        o2h_i[:, 0, :P2],
+        o2h_dot[:, 0, :P2],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -97,54 +210,114 @@ def nn_bidirectional_pallas(
 ):
     """Bidirectional NN: (h2o_sqdist [F,P1], h2o_idx [F,P1],
     o2h_sqdist [F,P2], o2h_idx [F,P2]). Invalid y handled via y_valid."""
+    h2o_d, h2o_i, o2h_d, o2h_i, _ = _nn_forward(x, y, y_valid, None, tile, interpret)
+    return h2o_d, h2o_i, o2h_d, o2h_i
+
+
+def _nn_bwd_kernel(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_ref, gy_ref):
+    """Chamfer backward as one-hot MXU matmuls — a gather/scatter formulation
+    (take_along_axis + .at[].add) measured ~3.6 s on the train step's 20480
+    frames; one-hot contractions keep everything in VMEM on the MXU.
+
+    Per (frame, y-tile): with i* = o2hi_j (nearest x per y) and j* = h2oi_i
+    (nearest y per x, global index),
+      gy_j += yc_j·(y_j - x_{i*});  gx_{i*} -= yc_j·(y_j - x_{i*})
+      gx_i += xr_i·(x_i - y_{j*});  gy_{j*} -= xr_i·(x_i - y_{j*})
+    where xr/yc are the cotangents pre-divided by the distances.
+
+    xt/yt: [1, 3, P1p] / [1, 3, TILE] coordinate-major points
+    h2oi:  [1, 1, P1p] global nearest-y index per x (-1 on pad lanes)
+    o2hi:  [1, 1, TILE] nearest-x index per y
+    xr/yc: [1, 1, P1p] / [1, 1, TILE] premultiplied cotangent rows (0 on pads)
+    gx:    [1, 3, P1p] accumulated over tiles;  gy: [1, 3, TILE]
+    """
+    c = pl.program_id(1)
+    tile = yt_ref.shape[2]
+    P1p = xt_ref.shape[2]
+    xt = xt_ref[0]
+    yt = yt_ref[0]
+    h2oi = h2oi_ref[0]  # [1, P1p]
+    o2hi = o2hi_ref[0]  # [1, TILE]
+    xr = xr_ref[0]  # [1, P1p]
+    yc = yc_ref[0]  # [1, TILE]
+
+    # o2h side: M[i, j] = 1 iff i == o2hi_j
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 0)
+    M = (rows == o2hi).astype(jnp.float32)
+    x_nn = _dot(xt, M, ((1,), (0,)))  # [3, TILE] = x_{i*_j}
+    contrib = yc * (yt - x_nn)  # [3, TILE]
+    gy = contrib
+    gx = -_dot(contrib, M, ((1,), (1,)))  # [3, P1p]
+
+    # h2o side: M2[j, i] = 1 iff c*tile + j == h2oi_i (owner tile only)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
+    M2 = (rows2 == h2oi).astype(jnp.float32)
+    y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p] = y_{j*_i} (0 off-owner)
+    owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
+    u2 = xr * (owner * xt - y_at)  # [3, P1p], zero off-owner
+    gx = gx + u2
+    gy = gy - _dot(u2, M2, ((1,), (1,)))  # [3, TILE]
+
+    gy_ref[0] = gy
+
+    @pl.when(c == 0)
+    def _():
+        gx_ref[0] = gx
+
+    @pl.when(c > 0)
+    def _():
+        gx_ref[0] += gx
+
+
+def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
+    """Run _nn_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3])."""
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
 
-    if y_valid is None:
-        y_valid = jnp.ones((F, P2), bool)
+    xT = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
     if P1p != P1:
-        x = jnp.concatenate([x, jnp.full((F, P1p - P1, 3), 1e6, x.dtype)], axis=1)
+        pad = P1p - P1
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
+        h2o_i = jnp.pad(h2o_i, ((0, 0), (0, pad)), constant_values=-1)
+        xr = jnp.pad(xr, ((0, 0), (0, pad)))
     if P2p != P2:
-        y = jnp.concatenate([y, jnp.zeros((F, P2p - P2, 3), y.dtype)], axis=1)
-        y_valid = jnp.concatenate([y_valid, jnp.zeros((F, P2p - P2), bool)], axis=1)
-
-    yt = jnp.swapaxes(y.astype(jnp.float32), 1, 2)  # [F, 3, P2p]
-    yv = y_valid.astype(jnp.int32)[:, None, :]  # [F, 1, P2p]
+        pad = P2p - P2
+        yT = jnp.pad(yT, ((0, 0), (0, 0), (0, pad)))
+        o2h_i = jnp.pad(o2h_i, ((0, 0), (0, pad)))
+        yc = jnp.pad(yc, ((0, 0), (0, pad)))
 
     n_tiles = P2p // tile
     grid = (F, n_tiles)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
-        jax.ShapeDtypeStruct((F, 1, P1p), jnp.int32),
-        jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
-        jax.ShapeDtypeStruct((F, 1, P2p), jnp.int32),
-    )
-    h2o_d, h2o_i, o2h_d, o2h_i = pl.pallas_call(
-        _nn_kernel,
+    gx, gy = pl.pallas_call(
+        _nn_bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, P1p, 3), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
         ),
-        out_shape=out_shape,
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P2p), jnp.float32),
+        ),
+        # two f32 one-hot [P1p, tile] masks blow the default 16M scoped vmem
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x.astype(jnp.float32), yt, yv)
+    )(xT, yT, h2o_i[:, None, :], o2h_i[:, None, :], xr[:, None, :], yc[:, None, :])
 
     return (
-        h2o_d[:, 0, :P1],
-        h2o_i[:, 0, :P1],
-        o2h_d[:, 0, :P2],
-        o2h_i[:, 0, :P2],
+        jnp.swapaxes(gx, 1, 2)[:, :P1],
+        jnp.swapaxes(gy, 1, 2)[:, :P2],
     )
 
 
@@ -158,27 +331,68 @@ def point2point_signed_pallas(
     interpret: bool = False,
 ):
     """Drop-in for core.geometry.point2point_signed backed by the fused kernel.
-    Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2])."""
-    h2o_d, h2o_i, o2h_d, o2h_i = nn_bidirectional_pallas(
-        x, y, y_valid, tile=tile, interpret=interpret
-    )
+    Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]).
 
+    Differentiable via a custom VJP: the nearest-neighbor INDICES are treated
+    as constants of the backward pass (correct almost everywhere — exactly the
+    gradient torch autograd produces through the reference's CUDA chamfer +
+    gather formulation). Both directions' gradients run through _nn_bwd_kernel
+    (one-hot MXU contractions — no gathers/scatters). Normals enter only
+    through sign(), whose gradient is zero a.e. (parity with torch .sign()).
+    """
+    has_normals = x_normals is not None
+    if x_normals is None:
+        x_normals = jnp.zeros_like(x)
+    if y_valid is None:
+        y_valid = jnp.ones(y.shape[:2], bool)
+    y2x_signed, x2y_signed, o2h_i = _p2ps_core(
+        x, y, x_normals, y_valid, tile, interpret, has_normals
+    )
+    return y2x_signed, x2y_signed, o2h_i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _p2ps_core(x, y, x_normals, y_valid, tile, interpret, has_normals):
+    out, _ = _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals)
+    return out
+
+
+def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals):
+    h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = _nn_forward(
+        x, y, y_valid, x_normals if has_normals else None, tile, interpret
+    )
     x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
     y2x_dist = jnp.sqrt(jnp.maximum(o2h_d, 0.0))
 
-    # signs via normal . offset (chamfer wrapper semantics)
-    x_near = jnp.take_along_axis(y, h2o_i[..., None], axis=1)  # nearest y per x
-    y_near = jnp.take_along_axis(x, o2h_i[..., None], axis=1)  # nearest x per y
-    x2y = x - x_near
-    y2x = y - y_near
-
-    if x_normals is not None:
-        nn_ = jnp.take_along_axis(x_normals, o2h_i[..., None], axis=1)
-        y2x_signed = y2x_dist * jnp.sign(jnp.sum(nn_ * y2x, axis=-1))
+    if has_normals:
+        sign = jnp.sign(o2h_dot)
+        y2x_signed = jnp.where(y_valid, y2x_dist * sign, 0.0)
     else:
-        y2x_signed = y2x_dist
+        sign = jnp.ones_like(y2x_dist)
+        y2x_signed = jnp.where(y_valid, y2x_dist, 0.0)
     x2y_signed = x2y_dist  # no y normals in any TaMF call site
 
-    if y_valid is not None:
-        y2x_signed = jnp.where(y_valid, y2x_signed, 0.0)
-    return y2x_signed, x2y_signed, o2h_i
+    # residuals are kept LEAN on purpose (train-step peak HBM): only rows
+    # [F,P1]/[F,P2] survive; x/y alias the still-live primal inputs
+    residuals = (x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid)
+    return (y2x_signed, x2y_signed, o2h_i), residuals
+
+
+def _p2ps_bwd(tile, interpret, has_normals, residuals, cotangents):
+    import numpy as np
+
+    x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid = residuals
+    g_y2x, g_x2y, _ = cotangents  # no gradient through the int index output
+
+    # cotangent rows pre-divided by distances (see _nn_bwd_kernel docstring)
+    xr = g_x2y / jnp.maximum(x2y_dist, 1e-12)
+    yc = jnp.where(y_valid, sign, 0.0) * g_y2x / jnp.maximum(y2x_dist, 1e-12)
+    gx, gy = _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret)
+
+    # x_normals only enters through sign() — zero gradient a.e. (torch parity);
+    # y_valid is boolean -> float0 cotangent
+    g_valid = np.zeros(y_valid.shape, dtype=jax.dtypes.float0)
+    return gx, gy, jnp.zeros_like(gx), g_valid
+
+
+_p2ps_core.defvjp(_p2ps_fwd, _p2ps_bwd)

@@ -168,9 +168,14 @@ def make_g_train_step(
             }
             total = diffusion_loss
             if use_extra:
-                extra, terms = LL.interaction_segment_extra_loss(
-                    mano_stack, assets, extra_cfg, aux["model_output"], batch, chunk=chunk
-                )
+                # remat: the geometric losses expand to [bs*nobj*L, 778|P]
+                # MANO/chamfer intermediates (multi-GB at production batch) —
+                # recompute them in the backward pass instead of saving
+                extra, terms = jax.checkpoint(
+                    lambda mo: LL.interaction_segment_extra_loss(
+                        mano_stack, assets, extra_cfg, mo, batch, chunk=chunk
+                    )
+                )(aux["model_output"])
                 total = total + extra
                 metrics.update({f"extra/{k}": v for k, v in terms.items()})
             metrics["loss"] = total

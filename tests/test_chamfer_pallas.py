@@ -1,6 +1,7 @@
 """Pallas chamfer kernel vs the XLA streaming reference (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from oakink2_tamf_tpu.core import geometry as G
@@ -60,3 +61,57 @@ def test_point2point_signed_pallas_matches_geometry():
     np.testing.assert_allclose(np.asarray(y2x_p), np.asarray(y2x_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x2y_p), np.asarray(x2y_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(yidx_p), np.asarray(yidx_r))
+
+
+def test_point2point_signed_pallas_grad_matches_xla():
+    """Training differentiates through the chamfer distances (extra_loss /
+    refine loss); the Pallas path's custom VJP must match XLA's gradient."""
+    rng = np.random.default_rng(3)
+    N, P1, P2 = 2, 23, 150
+    x = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(N, P2, 3)).astype(np.float32)
+    xn = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    xn /= np.linalg.norm(xn, axis=-1, keepdims=True)
+    valid = np.ones((N, P2), bool)
+    valid[:, 120:] = False
+    w = rng.normal(size=(N, P2)).astype(np.float32)
+    v = rng.normal(size=(N, P1)).astype(np.float32)
+
+    def loss_pallas(x, y):
+        y2x, x2y, _ = CP.point2point_signed_pallas(
+            x, y, x_normals=jnp.asarray(xn), y_valid=jnp.asarray(valid),
+            tile=128, interpret=True,
+        )
+        return jnp.sum(y2x * w) + jnp.sum(x2y * v)
+
+    def loss_xla(x, y):
+        y2x, x2y, _ = G.point2point_signed(
+            x, y, x_normals=jnp.asarray(xn), y_valid=jnp.asarray(valid), chunk=64,
+            backend="xla",
+        )
+        return jnp.sum(y2x * w) + jnp.sum(x2y * v)
+
+    gx_p, gy_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    gx_r, gy_r = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r), rtol=1e-4, atol=1e-5)
+
+
+def test_point2point_signed_pallas_grad_no_normals():
+    rng = np.random.default_rng(4)
+    N, P1, P2 = 2, 17, 140
+    x = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(N, P2, 3)).astype(np.float32)
+
+    def loss_pallas(x, y):
+        y2x, x2y, _ = CP.point2point_signed_pallas(x, y, tile=128, interpret=True)
+        return jnp.sum(y2x) + 2.0 * jnp.sum(x2y)
+
+    def loss_xla(x, y):
+        y2x, x2y, _ = G.point2point_signed(x, y, chunk=64, backend="xla")
+        return jnp.sum(y2x) + 2.0 * jnp.sum(x2y)
+
+    gx_p, gy_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    gx_r, gy_r = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r), rtol=1e-4, atol=1e-5)
