@@ -45,9 +45,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _frame_block(F: int, P1p: int, tile: int) -> int:
+    """Frames per grid step. MEASURED at the train shape (F=20480, 778x2048):
+    FB=4 gives 715 ms vs 662 ms at FB=1 — per-step dispatch/DMA overhead is
+    already hidden by Mosaic's pipelining, and the unrolled body only adds
+    VMEM pressure. Kept at 1; the blocked plumbing stays for future tuning."""
+    return 1
+
+
 def _dot(a, b, dims):
-    """MXU matmul at HIGHEST precision (bf16 passes would destroy the
-    near-contact distance/sign resolution, ~5e-3 m)."""
+    """MXU matmul at HIGHEST precision (6 bf16 passes, ~2^-24 relative).
+
+    The ||x-y||^2 expansion is cancellation-limited: its absolute error
+    scales with ||x||^2 + ||y||^2, not with the (tiny, near-contact)
+    result. A 3-pass hi/lo split (~2^-16) was MEASURED to break the parity
+    tests at unit point spread (26% of mins off at rtol 1e-4); per-frame
+    centering in _nn_forward keeps the magnitudes — and hence the HIGHEST-
+    precision error — small."""
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -56,7 +70,7 @@ def _dot(a, b, dims):
 
 
 def _nn_kernel(
-    xa_ref, na_ref, ya_ref, yv_ref,
+    xa_ref, na_ref, ya_ref,
     h2o_d_ref, h2o_i_ref, o2h_d_ref, o2h_i_ref, o2h_dot_ref,
 ):
     """One (frame, y-tile) grid step.
@@ -77,50 +91,57 @@ def _nn_kernel(
     from a one-hot compare — no HBM gathers anywhere (measured: the XLA
     take_along_axis epilogue cost 766 ms on the train step's 20480 frames).
 
-    xa_ref:  [1, 5, P1p] augmented hand verts (pad lanes: ||x||^2 = +1e30)
-    na_ref:  [1, 5, P1p] augmented hand normals
-    ya_ref:  [1, 5, TILE] augmented object tile
-    yv_ref:  [1, 1, TILE] validity (0 for padded object points)
-    h2o_d/i: [1, 1, P1p] running min sq-dist / argmin over ALL y tiles
-    o2h_d/i: [1, 1, TILE] per-tile min sq-dist / argmin over x
-    o2h_dot: [1, 1, TILE] sign numerator at the o2h argmin
+    FB frames ride per grid step (blocks [FB, ...]) to amortize the per-step
+    DMA/dispatch overhead — measured ~15 us/frame at FB=1 against ~5 us of
+    actual VPU work on the [896, 2048] block.
+
+    Validity masking is FREE: invalid/padded y points carry ||y||^2 = +1e30
+    in ya, which adds BIG to their whole distance COLUMN — h2o never picks
+    them, and o2h argmin per column is unchanged (a per-column constant
+    shift). Their o2h distances come out +BIG and the wrapper zeroes them.
+    This replaces a full [P1p, TILE] where() pass + a validity DMA per step.
+
+    xa_ref:  [FB, 5, P1p] augmented hand verts (pad lanes: ||x||^2 = +1e30)
+    na_ref:  [FB, 5, P1p] augmented hand normals
+    ya_ref:  [FB, 5, TILE] augmented object tile (invalid: ||y||^2 = +1e30)
+    h2o_d/i: [FB, 1, P1p] running min sq-dist / argmin over ALL y tiles
+    o2h_d/i: [FB, 1, TILE] per-tile min sq-dist / argmin over x
+    o2h_dot: [FB, 1, TILE] sign numerator at the o2h argmin
     """
     c = pl.program_id(1)
     tile = ya_ref.shape[2]
 
-    # pairwise squared distances on the MXU: [P1p, TILE]
-    d = _dot(xa_ref[0], ya_ref[0], ((0,), (0,)))
+    for b in range(xa_ref.shape[0]):
+        # pairwise squared distances on the MXU: [P1p, TILE]
+        d = _dot(xa_ref[b], ya_ref[b], ((0,), (0,)))
 
-    yv = yv_ref[0]  # [1, TILE]
-    d_masked = jnp.where(yv > 0, d, BIG)
+        # h2o: running min over tiles
+        tile_min = jnp.min(d, axis=1)  # [P1p]
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + c * tile
 
-    # h2o: running min over tiles
-    tile_min = jnp.min(d_masked, axis=1)  # [P1p]
-    tile_arg = jnp.argmin(d_masked, axis=1).astype(jnp.int32) + c * tile
+        @pl.when(c == 0)
+        def _():
+            h2o_d_ref[b, 0, :] = tile_min
+            h2o_i_ref[b, 0, :] = tile_arg
 
-    @pl.when(c == 0)
-    def _():
-        h2o_d_ref[0, 0, :] = tile_min
-        h2o_i_ref[0, 0, :] = tile_arg
+        @pl.when(c > 0)
+        def _():
+            prev = h2o_d_ref[b, 0, :]
+            upd = tile_min < prev
+            h2o_d_ref[b, 0, :] = jnp.where(upd, tile_min, prev)
+            h2o_i_ref[b, 0, :] = jnp.where(upd, tile_arg, h2o_i_ref[b, 0, :])
 
-    @pl.when(c > 0)
-    def _():
-        prev = h2o_d_ref[0, 0, :]
-        upd = tile_min < prev
-        h2o_d_ref[0, 0, :] = jnp.where(upd, tile_min, prev)
-        h2o_i_ref[0, 0, :] = jnp.where(upd, tile_arg, h2o_i_ref[0, 0, :])
+        # o2h: per-y-point min over all x (x fully resident)
+        o2h_arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [TILE]
+        o2h_d_ref[b, 0, :] = jnp.min(d, axis=0)
+        o2h_i_ref[b, 0, :] = o2h_arg
 
-    # o2h: per-y-point min over all x (x fully resident)
-    o2h_arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [TILE]
-    o2h_d_ref[0, 0, :] = jnp.min(d, axis=0)
-    o2h_i_ref[0, 0, :] = o2h_arg
-
-    # sign numerator selected at the argmin row via one-hot compare
-    s = _dot(na_ref[0], ya_ref[0], ((0,), (0,)))  # [P1p, TILE]
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    o2h_dot_ref[0, 0, :] = jnp.sum(
-        jnp.where(rows == o2h_arg[None, :], s, 0.0), axis=0
-    )
+        # sign numerator selected at the argmin row via one-hot compare
+        s = _dot(na_ref[b], ya_ref[b], ((0,), (0,)))  # [P1p, TILE]
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        o2h_dot_ref[b, 0, :] = jnp.sum(
+            jnp.where(rows == o2h_arg[None, :], s, 0.0), axis=0
+        )
 
 
 def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
@@ -130,8 +151,6 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
 
-    if y_valid is None:
-        y_valid = jnp.ones((F, P2), bool)
     if x_normals is None:
         x_normals = jnp.zeros_like(x)
 
@@ -140,12 +159,25 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     xn = x_normals.astype(jnp.float32)
+    # per-frame centering: distances are translation-invariant, and the
+    # expansion's cancellation error scales with ||x||^2 + ||y||^2 — keep
+    # the scene's own spread, not its absolute (room-frame) position. The
+    # center comes from Y so that call sites sharing one object cloud across
+    # several chamfer calls (R computes sample/refine/target h2o against the
+    # SAME points) also share the shifted ya operand via CSE — centering on
+    # x was measured to cost +4 GB HBM (OOM) on the R train step at P=8192.
+    ctr = jnp.mean(y, axis=1, keepdims=True)  # [F, 1, 3]
+    x = x - ctr
+    y = y - ctr
     xT = jnp.swapaxes(x, 1, 2)  # [F, 3, P1]
     nT = jnp.swapaxes(xn, 1, 2)  # [F, 3, P1]
     yT = jnp.swapaxes(y, 1, 2)  # [F, 3, P2]
     xsq = jnp.sum(x * x, axis=-1)  # [F, P1]
     ndx = -jnp.sum(xn * x, axis=-1)  # [F, P1]  (-n·x)
     ysq = jnp.sum(y * y, axis=-1)  # [F, P2]
+    if y_valid is not None:
+        # validity rides inside ysq (see _nn_kernel): invalid columns lose
+        ysq = jnp.where(y_valid, ysq, BIG)
     if P1p != P1:
         pad = P1p - P1
         xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
@@ -155,47 +187,54 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     if P2p != P2:
         pad = P2p - P2
         yT = jnp.pad(yT, ((0, 0), (0, 0), (0, pad)))
-        ysq = jnp.pad(ysq, ((0, 0), (0, pad)))
-        y_valid = jnp.concatenate([y_valid, jnp.zeros((F, pad), bool)], axis=1)
+        ysq = jnp.pad(ysq, ((0, 0), (0, pad)), constant_values=BIG)
     ones_y = jnp.ones((F, 1, P2p), jnp.float32)
     zeros_x = jnp.zeros((F, 1, P1p), jnp.float32)
     xa = jnp.concatenate([-2.0 * xT, xsq[:, None], 1.0 + zeros_x], axis=1)  # [F,5,P1p]
     na = jnp.concatenate([nT, ndx[:, None], zeros_x], axis=1)  # [F, 5, P1p]
     ya = jnp.concatenate([yT, ones_y, ysq[:, None]], axis=1)  # [F, 5, P2p]
-    yv = y_valid.astype(jnp.int32)[:, None, :]  # [F, 1, P2p]
+
+    fb = _frame_block(F, P1p, tile)
+    Fp = _round_up(F, fb)
+    if Fp != F:
+        fpad = ((0, Fp - F), (0, 0), (0, 0))
+        # pad frames: all-BIG xsq rows make their outputs garbage; sliced off
+        xa = jnp.pad(xa, fpad)
+        na = jnp.pad(na, fpad)
+        ya = jnp.pad(ya, fpad)
 
     n_tiles = P2p // tile
-    grid = (F, n_tiles)
+    grid = (Fp // fb, n_tiles)
 
     out_shape = (
-        jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
-        jax.ShapeDtypeStruct((F, 1, P1p), jnp.int32),
-        jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
-        jax.ShapeDtypeStruct((F, 1, P2p), jnp.int32),
-        jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
+        jax.ShapeDtypeStruct((Fp, 1, P1p), jnp.float32),
+        jax.ShapeDtypeStruct((Fp, 1, P1p), jnp.int32),
+        jax.ShapeDtypeStruct((Fp, 1, P2p), jnp.float32),
+        jax.ShapeDtypeStruct((Fp, 1, P2p), jnp.int32),
+        jax.ShapeDtypeStruct((Fp, 1, P2p), jnp.float32),
     )
-    _col = pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
-    _row = pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    _col = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _row = pl.BlockSpec((fb, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
     h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            _row,
+            pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=(_col, _col, _row, _row, _row),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xa, na, ya, yv)
+    )(xa, na, ya)
 
     return (
-        h2o_d[:, 0, :P1],
-        h2o_i[:, 0, :P1],
-        o2h_d[:, 0, :P2],
-        o2h_i[:, 0, :P2],
-        o2h_dot[:, 0, :P2],
+        h2o_d[:F, 0, :P1],
+        h2o_i[:F, 0, :P1],
+        o2h_d[:F, 0, :P2],
+        o2h_i[:F, 0, :P2],
+        o2h_dot[:F, 0, :P2],
     )
 
 
@@ -209,7 +248,9 @@ def nn_bidirectional_pallas(
     interpret: bool = False,
 ):
     """Bidirectional NN: (h2o_sqdist [F,P1], h2o_idx [F,P1],
-    o2h_sqdist [F,P2], o2h_idx [F,P2]). Invalid y handled via y_valid."""
+    o2h_sqdist [F,P2], o2h_idx [F,P2]). Invalid y (y_valid=False) never win
+    the h2o direction; their own o2h_sqdist comes back >= BIG (callers mask
+    them out — see point2point_signed_pallas), their o2h_idx is exact."""
     h2o_d, h2o_i, o2h_d, o2h_i, _ = _nn_forward(x, y, y_valid, None, tile, interpret)
     return h2o_d, h2o_i, o2h_d, o2h_i
 
@@ -225,48 +266,50 @@ def _nn_bwd_kernel(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_ref, g
       gx_i += xr_i·(x_i - y_{j*});  gy_{j*} -= xr_i·(x_i - y_{j*})
     where xr/yc are the cotangents pre-divided by the distances.
 
-    xt/yt: [1, 3, P1p] / [1, 3, TILE] coordinate-major points
-    h2oi:  [1, 1, P1p] global nearest-y index per x (-1 on pad lanes)
-    o2hi:  [1, 1, TILE] nearest-x index per y
-    xr/yc: [1, 1, P1p] / [1, 1, TILE] premultiplied cotangent rows (0 on pads)
-    gx:    [1, 3, P1p] accumulated over tiles;  gy: [1, 3, TILE]
+    xt/yt: [FB, 3, P1p] / [FB, 3, TILE] coordinate-major points
+    h2oi:  [FB, 1, P1p] global nearest-y index per x (-1 on pad lanes)
+    o2hi:  [FB, 1, TILE] nearest-x index per y
+    xr/yc: [FB, 1, P1p] / [FB, 1, TILE] premultiplied cotangent rows (0 on pads)
+    gx:    [FB, 3, P1p] accumulated over tiles;  gy: [FB, 3, TILE]
     """
     c = pl.program_id(1)
     tile = yt_ref.shape[2]
     P1p = xt_ref.shape[2]
-    xt = xt_ref[0]
-    yt = yt_ref[0]
-    h2oi = h2oi_ref[0]  # [1, P1p]
-    o2hi = o2hi_ref[0]  # [1, TILE]
-    xr = xr_ref[0]  # [1, P1p]
-    yc = yc_ref[0]  # [1, TILE]
 
-    # o2h side: M[i, j] = 1 iff i == o2hi_j
-    rows = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 0)
-    M = (rows == o2hi).astype(jnp.float32)
-    x_nn = _dot(xt, M, ((1,), (0,)))  # [3, TILE] = x_{i*_j}
-    contrib = yc * (yt - x_nn)  # [3, TILE]
-    gy = contrib
-    gx = -_dot(contrib, M, ((1,), (1,)))  # [3, P1p]
+    for b in range(xt_ref.shape[0]):
+        xt = xt_ref[b]
+        yt = yt_ref[b]
+        h2oi = h2oi_ref[b]  # [1, P1p]
+        o2hi = o2hi_ref[b]  # [1, TILE]
+        xr = xr_ref[b]  # [1, P1p]
+        yc = yc_ref[b]  # [1, TILE]
 
-    # h2o side: M2[j, i] = 1 iff c*tile + j == h2oi_i (owner tile only)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
-    M2 = (rows2 == h2oi).astype(jnp.float32)
-    y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p] = y_{j*_i} (0 off-owner)
-    owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
-    u2 = xr * (owner * xt - y_at)  # [3, P1p], zero off-owner
-    gx = gx + u2
-    gy = gy - _dot(u2, M2, ((1,), (1,)))  # [3, TILE]
+        # o2h side: M[i, j] = 1 iff i == o2hi_j
+        rows = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 0)
+        M = (rows == o2hi).astype(jnp.float32)
+        x_nn = _dot(xt, M, ((1,), (0,)))  # [3, TILE] = x_{i*_j}
+        contrib = yc * (yt - x_nn)  # [3, TILE]
+        gy = contrib
+        gx = -_dot(contrib, M, ((1,), (1,)))  # [3, P1p]
 
-    gy_ref[0] = gy
+        # h2o side: M2[j, i] = 1 iff c*tile + j == h2oi_i (owner tile only)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
+        M2 = (rows2 == h2oi).astype(jnp.float32)
+        y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p] = y_{j*_i} (0 off-owner)
+        owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
+        u2 = xr * (owner * xt - y_at)  # [3, P1p], zero off-owner
+        gx = gx + u2
+        gy = gy - _dot(u2, M2, ((1,), (1,)))  # [3, TILE]
 
-    @pl.when(c == 0)
-    def _():
-        gx_ref[0] = gx
+        gy_ref[b] = gy
 
-    @pl.when(c > 0)
-    def _():
-        gx_ref[0] += gx
+        @pl.when(c == 0)
+        def _():
+            gx_ref[b] = gx
+
+        @pl.when(c > 0)
+        def _():
+            gx_ref[b] += gx
 
 
 def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
@@ -289,35 +332,52 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
         o2h_i = jnp.pad(o2h_i, ((0, 0), (0, pad)))
         yc = jnp.pad(yc, ((0, 0), (0, pad)))
 
+    h2o_i = h2o_i[:, None, :]
+    o2h_i = o2h_i[:, None, :]
+    xr = xr[:, None, :]
+    yc = yc[:, None, :]
+    fb = _frame_block(F, P1p, tile)
+    Fp = _round_up(F, fb)
+    if Fp != F:
+        fpad = ((0, Fp - F), (0, 0), (0, 0))
+        xT = jnp.pad(xT, fpad)
+        yT = jnp.pad(yT, fpad)
+        h2o_i = jnp.pad(h2o_i, fpad, constant_values=-1)
+        o2h_i = jnp.pad(o2h_i, fpad)
+        xr = jnp.pad(xr, fpad)  # zero cotangents: pad frames contribute 0
+        yc = jnp.pad(yc, fpad)
+
     n_tiles = P2p // tile
-    grid = (F, n_tiles)
+    grid = (Fp // fb, n_tiles)
+    _xcol = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _yrow = pl.BlockSpec((fb, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
     gx, gy = pl.pallas_call(
         _nn_bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            _xcol,
+            _yrow,
+            _xcol,
+            _yrow,
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
-            jax.ShapeDtypeStruct((F, 3, P2p), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
         ),
         # two f32 one-hot [P1p, tile] masks blow the default 16M scoped vmem
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xT, yT, h2o_i[:, None, :], o2h_i[:, None, :], xr[:, None, :], yc[:, None, :])
+    )(xT, yT, h2o_i, o2h_i, xr, yc)
 
     return (
-        jnp.swapaxes(gx, 1, 2)[:, :P1],
-        jnp.swapaxes(gy, 1, 2)[:, :P2],
+        jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
+        jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
     )
 
 
@@ -363,17 +423,29 @@ def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals):
     )
     x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
     y2x_dist = jnp.sqrt(jnp.maximum(o2h_d, 0.0))
-
     if has_normals:
         sign = jnp.sign(o2h_dot)
-        y2x_signed = jnp.where(y_valid, y2x_dist * sign, 0.0)
     else:
         sign = jnp.ones_like(y2x_dist)
-        y2x_signed = jnp.where(y_valid, y2x_dist, 0.0)
-    x2y_signed = x2y_dist  # no y normals in any TaMF call site
 
     # residuals are kept LEAN on purpose (train-step peak HBM): only rows
-    # [F,P1]/[F,P2] survive; x/y alias the still-live primal inputs
+    # [F,P1]/[F,P2] survive; x/y alias the still-live primal inputs. They are
+    # checkpoint-named BEFORE the signed outputs are derived, so a
+    # surrounding jax.checkpoint(policy=save_only_these_names("chamfer_res"))
+    # keeps them across the remat and the backward NEVER re-runs the forward
+    # kernel (saves 2 kernel passes/train step, ~1.4 s at the G train shape).
+    from jax.ad_checkpoint import checkpoint_name
+
+    x2y_dist, y2x_dist, sign, h2o_i, o2h_i = (
+        checkpoint_name(t, "chamfer_res")
+        for t in (x2y_dist, y2x_dist, sign, h2o_i, o2h_i)
+    )
+
+    if has_normals:
+        y2x_signed = jnp.where(y_valid, y2x_dist * sign, 0.0)
+    else:
+        y2x_signed = jnp.where(y_valid, y2x_dist, 0.0)
+    x2y_signed = x2y_dist  # no y normals in any TaMF call site
     residuals = (x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid)
     return (y2x_signed, x2y_signed, o2h_i), residuals
 

@@ -170,11 +170,17 @@ def make_g_train_step(
             if use_extra:
                 # remat: the geometric losses expand to [bs*nobj*L, 778|P]
                 # MANO/chamfer intermediates (multi-GB at production batch) —
-                # recompute them in the backward pass instead of saving
+                # recompute them in the backward pass instead of saving. The
+                # chamfer residual rows are exempted (checkpoint-named in
+                # ops/chamfer_pallas._p2ps_fwd): they are small and keeping
+                # them means the backward never re-runs the NN kernels
                 extra, terms = jax.checkpoint(
                     lambda mo: LL.interaction_segment_extra_loss(
                         mano_stack, assets, extra_cfg, mo, batch, chunk=chunk
-                    )
+                    ),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "chamfer_res"
+                    ),
                 )(aux["model_output"])
                 total = total + extra
                 metrics.update({f"extra/{k}": v for k, v in terms.items()})
