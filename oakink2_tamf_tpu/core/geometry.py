@@ -145,6 +145,31 @@ def point2point_signed(
             x, y, x_normals=x_normals, y_valid=y_valid, tile=max(chunk, 512)
         )
 
+    return _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk)
+
+
+def point2point_h2o(
+    x: jax.Array,
+    y: jax.Array,
+    y_valid: jax.Array | None = None,
+    chunk: int = 2048,
+    backend: str = "auto",
+) -> jax.Array:
+    """Unsigned x->y nearest distances [N, P1] only.
+
+    R's refine path (segment_refine_model.py:142-168) consumes only this
+    direction; the o2h/sign work of point2point_signed — a measured ~40% of
+    the fused kernel — is skipped entirely on the TPU path."""
+    if backend == "pallas" or (backend == "auto" and _on_tpu()):
+        from ..ops.chamfer_pallas import point2point_h2o_pallas
+
+        return point2point_h2o_pallas(x, y, y_valid=y_valid, tile=max(chunk, 512))
+    _, x2y, _ = _point2point_signed_xla(x, y, None, None, y_valid, chunk)
+    return x2y
+
+
+def _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk):
+
     def single(xi, yi, xn, yn, yv):
         d_x2y, idx_x2y = nearest_neighbor(xi, yi, y_valid=yv, chunk=chunk)
         d_y2x, idx_y2x = nearest_neighbor(yi, xi, chunk=chunk)

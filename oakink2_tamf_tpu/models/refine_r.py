@@ -154,7 +154,9 @@ def multi_object_h2o_dist(
     obj_mask: jax.Array,  # [bs, nobj] bool
     chunk: int = 2048,
 ) -> jax.Array:
-    """Signed hand->object distances [bs, L, 778] (ref :142-168).
+    """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
+    reference's point2point_signed signs only o2h, which this path discards —
+    hand_normals is kept in the signature for reference parity but unused).
 
     Each object's canonical cloud is moved by its per-frame rigid transform,
     all objects concatenate on the point axis (static nobj: padded objects are
@@ -172,12 +174,12 @@ def multi_object_h2o_dist(
     valid = jnp.broadcast_to(valid[:, None, :], (bs, L, nobj * P))
 
     flat_h = hand_verts.reshape(bs * L, nhv, 3)
-    flat_n = hand_normals.reshape(bs * L, nhv, 3)
     flat_o = moved.reshape(bs * L, nobj * P, 3)
     flat_v = valid.reshape(bs * L, nobj * P)
-    _, h2o, _ = G.point2point_signed(
-        flat_h, flat_o, x_normals=flat_n, y_valid=flat_v, chunk=chunk
-    )
+    # h2o is UNSIGNED (the reference signs only the o2h direction, which this
+    # path never reads) — the hand normals do not enter; the h2o-only kernel
+    # variant skips the o2h/sign work (~40% of the fused kernel on TPU)
+    h2o = G.point2point_h2o(flat_h, flat_o, y_valid=flat_v, chunk=chunk)
     return h2o.reshape(bs, L, nhv)
 
 

@@ -144,21 +144,17 @@ def _nn_kernel(
         )
 
 
-def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
-    """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot)."""
+def _prep_operands(x, y, y_valid, x_normals, tile):
+    """Build the augmented coordinate-major kernel operands (xa, na, ya) —
+    minor dim is the point axis, so the TPU (8,128) tiling pads nothing
+    material. na is None when x_normals is None (h2o-only path skips it)."""
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
 
-    if x_normals is None:
-        x_normals = jnp.zeros_like(x)
-
-    # augmented coordinate-major operands (see _nn_kernel): minor dim is the
-    # point axis, so the TPU (8,128) tiling pads nothing material
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    xn = x_normals.astype(jnp.float32)
     # per-frame centering: distances are translation-invariant, and the
     # expansion's cancellation error scales with ||x||^2 + ||y||^2 — keep
     # the scene's own spread, not its absolute (room-frame) position. The
@@ -169,29 +165,37 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     ctr = jnp.mean(y, axis=1, keepdims=True)  # [F, 1, 3]
     x = x - ctr
     y = y - ctr
+
     xT = jnp.swapaxes(x, 1, 2)  # [F, 3, P1]
-    nT = jnp.swapaxes(xn, 1, 2)  # [F, 3, P1]
     yT = jnp.swapaxes(y, 1, 2)  # [F, 3, P2]
     xsq = jnp.sum(x * x, axis=-1)  # [F, P1]
-    ndx = -jnp.sum(xn * x, axis=-1)  # [F, P1]  (-n·x)
     ysq = jnp.sum(y * y, axis=-1)  # [F, P2]
     if y_valid is not None:
         # validity rides inside ysq (see _nn_kernel): invalid columns lose
         ysq = jnp.where(y_valid, ysq, BIG)
+    if x_normals is not None:
+        xn = x_normals.astype(jnp.float32)
+        nT = jnp.swapaxes(xn, 1, 2)  # [F, 3, P1]
+        ndx = -jnp.sum(xn * x, axis=-1)  # [F, P1]  (-n·x); x already centered
     if P1p != P1:
         pad = P1p - P1
         xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
-        nT = jnp.pad(nT, ((0, 0), (0, 0), (0, pad)))
         xsq = jnp.pad(xsq, ((0, 0), (0, pad)), constant_values=BIG)  # pads lose
-        ndx = jnp.pad(ndx, ((0, 0), (0, pad)))
+        if x_normals is not None:
+            nT = jnp.pad(nT, ((0, 0), (0, 0), (0, pad)))
+            ndx = jnp.pad(ndx, ((0, 0), (0, pad)))
     if P2p != P2:
         pad = P2p - P2
         yT = jnp.pad(yT, ((0, 0), (0, 0), (0, pad)))
         ysq = jnp.pad(ysq, ((0, 0), (0, pad)), constant_values=BIG)
     ones_y = jnp.ones((F, 1, P2p), jnp.float32)
     zeros_x = jnp.zeros((F, 1, P1p), jnp.float32)
-    xa = jnp.concatenate([-2.0 * xT, xsq[:, None], 1.0 + zeros_x], axis=1)  # [F,5,P1p]
-    na = jnp.concatenate([nT, ndx[:, None], zeros_x], axis=1)  # [F, 5, P1p]
+    xa = jnp.concatenate([-2.0 * xT, xsq[:, None], 1.0 + zeros_x], axis=1)
+    na = (
+        jnp.concatenate([nT, ndx[:, None], zeros_x], axis=1)
+        if x_normals is not None
+        else None
+    )
     ya = jnp.concatenate([yT, ones_y, ysq[:, None]], axis=1)  # [F, 5, P2p]
 
     fb = _frame_block(F, P1p, tile)
@@ -200,8 +204,19 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
         fpad = ((0, Fp - F), (0, 0), (0, 0))
         # pad frames: all-BIG xsq rows make their outputs garbage; sliced off
         xa = jnp.pad(xa, fpad)
-        na = jnp.pad(na, fpad)
         ya = jnp.pad(ya, fpad)
+        if na is not None:
+            na = jnp.pad(na, fpad)
+    return xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp)
+
+
+def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
+    """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot)."""
+    if x_normals is None:
+        x_normals = jnp.zeros_like(x)
+    xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
+        x, y, y_valid, x_normals, tile
+    )
 
     n_tiles = P2p // tile
     grid = (Fp // fb, n_tiles)
@@ -253,6 +268,193 @@ def nn_bidirectional_pallas(
     them out — see point2point_signed_pallas), their o2h_idx is exact."""
     h2o_d, h2o_i, o2h_d, o2h_i, _ = _nn_forward(x, y, y_valid, None, tile, interpret)
     return h2o_d, h2o_i, o2h_d, o2h_i
+
+
+# ---------------------------------------------------------------------------
+# h2o-only variant: R's refine path consumes ONLY the unsigned hand->object
+# distances (segment_refine_model.py:142-168 uses h2o, never o2h), so the
+# o2h min/argmin/sign work — a measured ~40% of the full kernel — is skipped.
+# ---------------------------------------------------------------------------
+
+
+def _nn_h2o_kernel(xa_ref, ya_ref, h2o_d_ref, h2o_i_ref):
+    """h2o-only grid step: one augmented matmul + running min/argmin."""
+    c = pl.program_id(1)
+    tile = ya_ref.shape[2]
+
+    for b in range(xa_ref.shape[0]):
+        d = _dot(xa_ref[b], ya_ref[b], ((0,), (0,)))
+        tile_min = jnp.min(d, axis=1)  # [P1p]
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + c * tile
+
+        @pl.when(c == 0)
+        def _():
+            h2o_d_ref[b, 0, :] = tile_min
+            h2o_i_ref[b, 0, :] = tile_arg
+
+        @pl.when(c > 0)
+        def _():
+            prev = h2o_d_ref[b, 0, :]
+            upd = tile_min < prev
+            h2o_d_ref[b, 0, :] = jnp.where(upd, tile_min, prev)
+            h2o_i_ref[b, 0, :] = jnp.where(upd, tile_arg, h2o_i_ref[b, 0, :])
+
+
+def _nn_h2o_forward(x, y, y_valid, tile, interpret):
+    """(h2o_sqdist [F,P1], h2o_idx [F,P1])."""
+    xa, _, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
+        x, y, y_valid, None, tile
+    )
+    grid = (Fp // fb, P2p // tile)
+    _col = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    h2o_d, h2o_i = pl.pallas_call(
+        _nn_h2o_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(_col, _col),
+        out_shape=(
+            jax.ShapeDtypeStruct((Fp, 1, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, 1, P1p), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xa, ya)
+    return h2o_d[:F, 0, :P1], h2o_i[:F, 0, :P1]
+
+
+def _nn_h2o_bwd_kernel(xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, gy_ref):
+    """h2o-only backward (see _nn_bwd_kernel): only the x->y direction."""
+    c = pl.program_id(1)
+    tile = yt_ref.shape[2]
+    P1p = xt_ref.shape[2]
+
+    for b in range(xt_ref.shape[0]):
+        xt = xt_ref[b]
+        yt = yt_ref[b]
+        h2oi = h2oi_ref[b]  # [1, P1p]
+        xr = xr_ref[b]  # [1, P1p]
+
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
+        M2 = (rows2 == h2oi).astype(jnp.float32)
+        y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p], 0 off-owner
+        owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
+        u2 = xr * (owner * xt - y_at)  # [3, P1p], zero off-owner
+        gy_ref[b] = -_dot(u2, M2, ((1,), (1,)))  # [3, TILE]
+
+        @pl.when(c == 0)
+        def _():
+            gx_ref[b] = u2
+
+        @pl.when(c > 0)
+        def _():
+            gx_ref[b] += u2
+
+
+def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret):
+    """Run _nn_h2o_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3])."""
+    F, P1, _ = x.shape
+    P2 = y.shape[1]
+    P1p = _round_up(P1, 128)
+    P2p = _round_up(P2, tile)
+
+    xT = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
+    if P1p != P1:
+        pad = P1p - P1
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
+        h2o_i = jnp.pad(h2o_i, ((0, 0), (0, pad)), constant_values=-1)
+        xr = jnp.pad(xr, ((0, 0), (0, pad)))
+    if P2p != P2:
+        yT = jnp.pad(yT, ((0, 0), (0, 0), (0, P2p - P2)))
+
+    h2o_i = h2o_i[:, None, :]
+    xr = xr[:, None, :]
+    fb = _frame_block(F, P1p, tile)
+    Fp = _round_up(F, fb)
+    if Fp != F:
+        fpad = ((0, Fp - F), (0, 0), (0, 0))
+        xT = jnp.pad(xT, fpad)
+        yT = jnp.pad(yT, fpad)
+        h2o_i = jnp.pad(h2o_i, fpad, constant_values=-1)
+        xr = jnp.pad(xr, fpad)  # zero cotangents: pad frames contribute 0
+
+    grid = (Fp // fb, P2p // tile)
+    gx, gy = pl.pallas_call(
+        _nn_h2o_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xT, yT, h2o_i, xr)
+
+    return (
+        jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
+        jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
+    )
+
+
+def point2point_h2o_pallas(
+    x: jax.Array,  # [N, P1, 3]
+    y: jax.Array,  # [N, P2, 3]
+    y_valid: jax.Array | None = None,
+    *,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Unsigned x->y nearest distances [N, P1] only (R's h2o feature/loss).
+
+    Same custom-VJP structure as point2point_signed_pallas, with the o2h
+    direction and the sign machinery compiled out entirely.
+    """
+    if y_valid is None:
+        y_valid = jnp.ones(y.shape[:2], bool)
+    return _p2h_core(x, y, y_valid, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _p2h_core(x, y, y_valid, tile, interpret):
+    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret)
+    return out
+
+
+def _p2h_fwd(x, y, y_valid, tile, interpret):
+    h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret)
+    x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
+
+    from jax.ad_checkpoint import checkpoint_name
+
+    x2y_dist = checkpoint_name(x2y_dist, "chamfer_res")
+    h2o_i = checkpoint_name(h2o_i, "chamfer_res")
+    return x2y_dist, (x, y, x2y_dist, h2o_i)
+
+
+def _p2h_bwd(tile, interpret, residuals, cotangents):
+    import numpy as np
+
+    x, y, x2y_dist, h2o_i = residuals
+    xr = cotangents / jnp.maximum(x2y_dist, 1e-12)
+    gx, gy = _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret)
+    g_valid = np.zeros(y.shape[:2], dtype=jax.dtypes.float0)
+    return gx, gy, g_valid
+
+
+_p2h_core.defvjp(_p2h_fwd, _p2h_bwd)
 
 
 def _nn_bwd_kernel(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_ref, gy_ref):

@@ -18,7 +18,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: repeated suite runs skip recompiles
+# persistent compile cache: repeated suite runs skip recompiles.
+# NOTE: run ONE pytest process at a time — two concurrent processes sharing
+# this cache dir were observed (twice) to SIGABRT inside XLA:CPU value
+# fetch/compile; every serial run is clean.
 try:
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser("~/.cache/tamf_xla_tests")

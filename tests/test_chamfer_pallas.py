@@ -115,3 +115,41 @@ def test_point2point_signed_pallas_grad_no_normals():
     gx_r, gy_r = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r), rtol=1e-4, atol=1e-5)
+
+
+def test_point2point_h2o_pallas_value_and_grad():
+    """R's h2o-only kernel variant: values and gradients match the full path."""
+    rng = np.random.default_rng(5)
+    N, P1, P2 = 2, 29, 300
+    x = rng.normal(size=(N, P1, 3)).astype(np.float32)
+    y = rng.normal(size=(N, P2, 3)).astype(np.float32)
+    valid = np.ones((N, P2), bool)
+    valid[:, 250:] = False
+    w = rng.normal(size=(N, P1)).astype(np.float32)
+
+    h2o = CP.point2point_h2o_pallas(
+        jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(valid),
+        tile=128, interpret=True,
+    )
+    _, x2y_ref, _ = G.point2point_signed(
+        jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(valid),
+        chunk=64, backend="xla",
+    )
+    np.testing.assert_allclose(np.asarray(h2o), np.asarray(x2y_ref), rtol=1e-4, atol=1e-5)
+
+    def loss_pallas(x, y):
+        d = CP.point2point_h2o_pallas(
+            x, y, y_valid=jnp.asarray(valid), tile=128, interpret=True
+        )
+        return jnp.sum(d * w)
+
+    def loss_xla(x, y):
+        _, x2y, _ = G.point2point_signed(
+            x, y, y_valid=jnp.asarray(valid), chunk=64, backend="xla"
+        )
+        return jnp.sum(x2y * w)
+
+    gx_p, gy_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    gx_r, gy_r = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r), rtol=1e-4, atol=1e-5)
