@@ -1,34 +1,69 @@
 """End-to-end launcher smoke tests on synthetic data: each CLI runs its full
-pipeline (config -> data -> model -> sharded steps -> ckpt/outputs) in-process
-on the 8-device CPU mesh."""
+pipeline (config -> data -> model -> sharded steps -> ckpt/outputs) on the
+8-device CPU mesh, in a FRESH SUBPROCESS per launcher.
+
+Why subprocesses: running the mains in-process was observed to intermittently
+SIGABRT inside XLA:CPU value fetch/compile — only when executed late in a long
+suite run (clean in isolation, clean in every serial re-run of just these
+files), i.e. dependent on accumulated in-process state from earlier test
+modules (torch, h5py, matplotlib, dozens of compiled executables). A fresh
+interpreter per launcher removes that coupling; the on-disk XLA compile cache
+keeps the cost to one jax init (~10 s) per test.
+"""
 
 import os
+import subprocess
+import sys
 
 import numpy as np
-import pytest
 
-SMOKE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "config", "synthetic_smoke.yml")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE = os.path.join(REPO, "config", "synthetic_smoke.yml")
+
+STEP_EXPR = "int(__import__('jax').device_get(s.step))"
 
 
-def run_in_tmp(tmp_path, fn, argv):
-    cwd = os.getcwd()
-    os.chdir(tmp_path)
-    try:
-        return fn(argv)
-    finally:
-        os.chdir(cwd)
+def run_in_tmp(tmp_path, module, argv, print_expr=None):
+    """Run oakink2_tamf_tpu.launch.<module>.main(argv) in a subprocess with
+    cwd=tmp_path; returns str(print_expr evaluated on the return value s)."""
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        f"from oakink2_tamf_tpu.launch import {module} as m\n"
+        f"s = m.main({list(argv)!r})\n"
+    )
+    if print_expr:
+        code += f"print('RET=' + str({print_expr}))\n"
+    env = dict(os.environ)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/tamf_xla_tests")
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert r.returncode == 0, (
+        f"launcher {module} failed (rc={r.returncode})\n"
+        f"--- stdout ---\n{r.stdout[-3000:]}\n--- stderr ---\n{r.stderr[-3000:]}"
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RET="):
+            return line[4:]
+    return None
 
 
 def test_train_g_e2e(tmp_path):
-    from oakink2_tamf_tpu.launch import train_g
-
-    state = run_in_tmp(
-        tmp_path, train_g.main,
+    step = run_in_tmp(
+        tmp_path, "train_g",
         ["--cfg", SMOKE, "--exp_id", "smoke_g", "--commit"],
+        print_expr=STEP_EXPR,
     )
-    import jax
-
-    assert int(jax.device_get(state.step)) == 2 * (16 // 8)
+    assert int(step) == 2 * (16 // 8)
     # checkpoints written
     save_dir = tmp_path / "common" / "train_g" / "smoke_g" / "save"
     assert any(p.name.startswith("model_") for p in save_dir.iterdir())
@@ -36,21 +71,18 @@ def test_train_g_e2e(tmp_path):
 
 
 def test_train_g_dry_run_writes_nothing(tmp_path):
-    from oakink2_tamf_tpu.launch import train_g
-
-    run_in_tmp(tmp_path, train_g.main, ["--cfg", SMOKE, "--exp_id", "dry_g"])
+    run_in_tmp(tmp_path, "train_g", ["--cfg", SMOKE, "--exp_id", "dry_g"])
     assert not (tmp_path / "common" / "train_g" / "dry_g").exists()
 
 
 def test_sample_g_e2e(tmp_path):
-    from oakink2_tamf_tpu.launch import sample_g
-
     out_dir = run_in_tmp(
-        tmp_path, sample_g.main,
+        tmp_path, "sample_g",
         [
             "--cfg", SMOKE, "--exp_id", "smoke_sample",
             "--sample.batch_size", "8", "--sample.split", "test", "--commit",
         ],
+        print_expr="s",
     )
     files = sorted(os.listdir(out_dir))
     assert len(files) == 16  # synthetic_size
@@ -59,41 +91,34 @@ def test_sample_g_e2e(tmp_path):
 
 
 def test_train_r_e2e(tmp_path):
-    from oakink2_tamf_tpu.launch import train_r
-
-    state = run_in_tmp(
-        tmp_path, train_r.main,
+    step = run_in_tmp(
+        tmp_path, "train_r",
         ["--cfg", SMOKE, "--exp_id", "smoke_r", "--train.num_epoch", "1",
          "--train.val_freq", "0", "--commit"],
+        print_expr=STEP_EXPR,
     )
-    import jax
-
-    assert int(jax.device_get(state.step)) >= 1
+    assert int(step) >= 1
 
 
 def test_train_encoder_e2e(tmp_path):
-    from oakink2_tamf_tpu.launch import train_encoder
-
-    state = run_in_tmp(
-        tmp_path, train_encoder.main,
+    step = run_in_tmp(
+        tmp_path, "train_encoder",
         ["--cfg", SMOKE, "--exp_id", "smoke_e", "--train.num_epoch", "1",
          "--train.batch_size", "16", "--commit"],
+        print_expr=STEP_EXPR,
     )
-    import jax
-
-    assert int(jax.device_get(state.step)) >= 1
+    assert int(step) >= 1
 
 
 def test_sample_r_e2e(tmp_path):
-    from oakink2_tamf_tpu.launch import sample_r
-
-    out_root = run_in_tmp(
-        tmp_path, sample_r.main,
-        ["--cfg", SMOKE, "--exp_id", "smoke_sr", "--sample.batch_size", "4",
-         "--sample.split", "test", "--commit"],
-    )
     import pickle
 
+    out_root = run_in_tmp(
+        tmp_path, "sample_r",
+        ["--cfg", SMOKE, "--exp_id", "smoke_sr", "--sample.batch_size", "4",
+         "--sample.split", "test", "--commit"],
+        print_expr="s",
+    )
     found = []
     for root, _, files in os.walk(out_root):
         for f in files:
