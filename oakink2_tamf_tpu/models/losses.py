@@ -119,11 +119,23 @@ def interaction_segment_extra_loss(
     L = mask.shape[1]
     mask_coef = L / jnp.maximum(jnp.sum(mask, axis=1), 1.0)  # [bs]
 
-    verts_gt, joints_gt, normals_gt = batch_recover_mano(
-        mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+    # checkpoint-named so the train step's remat policy keeps these across
+    # the backward pass (MANO LBS + vertex normals measured 92 ms/call on
+    # v5e at bs=64xL=160 — recomputing both calls costs ~184 ms/step for
+    # ~760 MB of savable activations)
+    from jax.ad_checkpoint import checkpoint_name
+
+    verts_gt, joints_gt, normals_gt = (
+        checkpoint_name(t, "geom_res")
+        for t in batch_recover_mano(
+            mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+        )
     )
-    verts_pred, joints_pred, normals_pred = batch_recover_mano(
-        mano_stack, model_output, batch["shape"], batch["hand_side"]
+    verts_pred, joints_pred, normals_pred = (
+        checkpoint_name(t, "geom_res")
+        for t in batch_recover_mano(
+            mano_stack, model_output, batch["shape"], batch["hand_side"]
+        )
     )
 
     m = mask[:, :, None]  # [bs, L, 1]

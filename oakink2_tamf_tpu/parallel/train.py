@@ -179,7 +179,7 @@ def make_g_train_step(
                         mano_stack, assets, extra_cfg, mo, batch, chunk=chunk
                     ),
                     policy=jax.checkpoint_policies.save_only_these_names(
-                        "chamfer_res"
+                        "chamfer_res", "geom_res"
                     ),
                 )(aux["model_output"])
                 total = total + extra
