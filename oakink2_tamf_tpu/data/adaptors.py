@@ -74,12 +74,22 @@ class GeneratedPoseReprSampleAdaptor:
 
 class GaussianPerturbSampleAdaptor:
     """GT + sigma-scheduled noise, tsl noise 10x smaller, rot6d re-normalized
-    (ref pose_repr_sample.py:55-94)."""
+    (ref pose_repr_sample.py:55-94).
+
+    A fresh Generator is derived per __getitem__ from (seed, epoch, index):
+    numpy Generators are not thread-safe, and the DataLoader fetches samples
+    from a ThreadPoolExecutor — a shared stream would race (corrupt/duplicate
+    draws) and be non-reproducible. `set_epoch` refreshes the noise per epoch
+    while keeping every (epoch, index) pair deterministic."""
 
     def __init__(self, base, sigma_range=(0.02, 0.1), seed: int | None = None):
         self.base = base
         self.sigma_min, self.sigma_max = float(sigma_range[0]), float(sigma_range[1])
-        self.rng = np.random.default_rng(seed)
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.base)
@@ -88,10 +98,11 @@ class GaussianPerturbSampleAdaptor:
         data = self.base[index]
         pose_repr = data["pose_repr"]
         n = int(data["len"])
-        sigma = self.rng.uniform(self.sigma_min, self.sigma_max)
+        rng = np.random.default_rng((self.seed, self.epoch, int(index)))
+        sigma = rng.uniform(self.sigma_min, self.sigma_max)
         sp = pose_repr.copy()
-        sp[:n, 0:3] += self.rng.normal(0, 0.1 * sigma, size=(n, 3))
-        sp[:n, 3:99] += self.rng.normal(0, sigma, size=(n, 96))
+        sp[:n, 0:3] += rng.normal(0, 0.1 * sigma, size=(n, 3))
+        sp[:n, 3:99] += rng.normal(0, sigma, size=(n, 96))
         sp[:n] = np.asarray(T.renormalize_pose_repr_rot6d(jnp.asarray(sp[:n])))
         data["sample_info"] = (index, sigma)
         data["sample_pose_repr"] = sp.astype(np.float32)
@@ -119,6 +130,10 @@ class ActionRecognitionAdapter:
     def __init__(self, base):
         self.base = base
 
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
     def __len__(self):
         return len(self.base)
 
@@ -140,6 +155,11 @@ class ConcatDataset:
     def __init__(self, datasets: Sequence):
         self.datasets = list(datasets)
         self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __len__(self):
         return int(self.offsets[-1])

@@ -34,6 +34,7 @@ DEFAULT_COLLATE_KEY = [
     "action_label_id",
     "action_onehot",
     "text_emb",
+    "target_h2o",
 ]
 NO_COLLATE_KEY = [
     "text",
@@ -110,6 +111,10 @@ class SegmentCollate:
             elif key in self.no_key:
                 res[key] = vals
             elif key in ("obj_pointcloud", "obj_verts"):
+                # the reference prefers obj_pointcloud when both are present
+                # (extra_loss.py:100-103, segment_refine_model.py:196-199)
+                if key == "obj_verts" and "obj_pointcloud" in keys:
+                    continue
                 pts = [
                     _pad_axis0(_pad_points(v, self.n_obj_points), self.max_nobj) for v in vals
                 ]

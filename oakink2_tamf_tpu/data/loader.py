@@ -47,6 +47,9 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # propagate to epoch-aware datasets (e.g. GaussianPerturbSampleAdaptor)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -1,0 +1,152 @@
+"""Per-sample cache of the GT hand-to-object distance field (`target_h2o`).
+
+R's loss compares the refined h2o distances against the TARGET h2o distances
+(reference segment_refine_model.py:219-248, segment_refine_model_loss.py:64-71).
+The target pass is a pure function of the GT sample — the reference recomputes
+it under no_grad on every train step; measured on v5e it was ~1/3 of the R
+step (the chamfer over 778 x nobj*8192 points x L frames dominates).
+
+`TargetH2OCache` wraps the BASE dataset (before sample adaptors, so both the
+generated-sample and Gaussian-perturb views share one cache), precomputes
+h2o once per segment with the exact same jitted geometry the train step uses
+(batch_recover_mano + multi_object_h2o_dist over the same collate padding),
+and attaches it as `target_h2o` [L, 778] to every sample. The train step then
+skips the target chamfer entirely (models/refine_r.target_geometry).
+
+Storage: one .npy per index under `cache_dir`, or an in-memory dict when
+`cache_dir` is None (~0.5 MB/sample f32 at L=160 — fine for smoke/medium runs,
+point long production runs at a disk dir).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+
+class TargetH2OCache:
+    def __init__(
+        self,
+        base,
+        mano_stack,
+        collate,
+        *,
+        chunk: int = 2048,
+        batch_size: int = 16,
+        cache_dir: str | None = None,
+    ):
+        self.base = base
+        self.mano_stack = mano_stack
+        self.collate = collate
+        self.chunk = int(chunk)
+        self.batch_size = int(batch_size)
+        self.cache_dir = cache_dir
+        self._mem: dict[int, np.ndarray] = {}
+        self._batched_fn = None
+        self._single_fn = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    # -- dataset protocol ---------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        data = self.base[index]
+        h2o = self._load(int(index))
+        if h2o is None:  # cold miss (precompute skipped): compute this one
+            h2o = self._compute_single(data)
+            self._store(int(index), h2o)
+        data["target_h2o"] = h2o
+        return data
+
+    # -- storage --------------------------------------------------------------
+
+    def _path(self, index: int) -> str:
+        return os.path.join(self.cache_dir, f"{index:08d}.npy")
+
+    def _load(self, index: int):
+        if self.cache_dir:
+            p = self._path(index)
+            return np.load(p) if os.path.isfile(p) else None
+        return self._mem.get(index)
+
+    def _store(self, index: int, h2o: np.ndarray) -> None:
+        if self.cache_dir:
+            tmp = self._path(index) + ".tmp.npy"  # np.save enforces the suffix
+            np.save(tmp, h2o)
+            os.replace(tmp, self._path(index))  # atomic vs concurrent readers
+        else:
+            self._mem[index] = h2o
+
+    def _has(self, index: int) -> bool:
+        return os.path.isfile(self._path(index)) if self.cache_dir else index in self._mem
+
+    # -- compute --------------------------------------------------------------
+
+    def _make_fn(self):
+        import jax
+
+        from ..models.refine_r import batch_recover_mano, multi_object_h2o_dist
+
+        mano_stack, chunk = self.mano_stack, self.chunk
+
+        def h2o_fn(pose_repr, shape, hand_side, obj_traj, obj_points, obj_mask):
+            verts, _, normals = batch_recover_mano(mano_stack, pose_repr, shape, hand_side)
+            return multi_object_h2o_dist(
+                verts, normals, obj_traj, obj_points, obj_mask, chunk=chunk
+            )
+
+        return jax.jit(h2o_fn)
+
+    def _run(self, fn, batch) -> np.ndarray:
+        import jax
+
+        out = fn(
+            batch["pose_repr"], batch["shape"], batch["hand_side"],
+            batch["obj_traj"], batch["obj_points"], batch["obj_mask"],
+        )
+        return np.asarray(jax.device_get(out), np.float32)
+
+    def _compute_single(self, data: dict[str, Any]) -> np.ndarray:
+        if self._single_fn is None:
+            self._single_fn = self._make_fn()
+        return self._run(self._single_fn, self.collate([data]))[0]
+
+    def precompute(self, *, force: bool = False) -> int:
+        """One batched pass over the base dataset; skips already-cached
+        indices. Returns the number of entries computed."""
+        todo = [i for i in range(len(self.base)) if force or not self._has(i)]
+        if not todo:
+            return 0
+        if self._batched_fn is None:
+            self._batched_fn = self._make_fn()
+        t0 = time.time()
+        done = 0
+        for lo in range(0, len(todo), self.batch_size):
+            idx = todo[lo : lo + self.batch_size]
+            samples = [self.base[i] for i in idx]
+            # pad the tail to the compiled batch size (one jit compile total)
+            n_real = len(samples)
+            while len(samples) < self.batch_size:
+                samples.append(samples[-1])
+            h2o = self._run(self._batched_fn, self.collate(samples))
+            for k, i in enumerate(idx[:n_real]):
+                self._store(i, h2o[k])
+            done += n_real
+        _logger.info(
+            "target_h2o cache: %d segments precomputed in %.1fs (%s)",
+            done, time.time() - t0, self.cache_dir or "in-memory",
+        )
+        return done

@@ -217,6 +217,7 @@ DEVICE_BATCH_KEYS = (
     "obj_mask",
     "obj_points",
     "action_label_id",
+    "target_h2o",
 )
 
 

@@ -47,6 +47,12 @@ def reg_model_param(reg: ConfigRegistry) -> None:
     reg.register("num_heads", prefix="model", category=int, default=4)
     reg.register("dropout", prefix="model", category=float, default=0.1)
     reg.register("activation", prefix="model", category=str, default="gelu")
+    reg.register("cond_mask_prob", prefix="model", category=float, default=0.0)
+    reg.register("remat", prefix="model", category=bool, default=False,
+                 desc="rematerialize trunk layers (memory for FLOPs)")
+    reg.register("compute_dtype", prefix="model", category=str, default="float32",
+                 choices=["float32", "bfloat16"],
+                 desc="trunk matmul dtype; bfloat16 = MXU fast path")
 
 
 def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
@@ -61,6 +67,8 @@ def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
     reg.register("val_freq", prefix="train", category=int, default=50)
     reg.register("schedule_sampler", prefix="train", category=str, default="uniform",
                  choices=["uniform", "loss-second-moment"])
+    reg.register("chunk", prefix="train", category=int, default=2048,
+                 desc="chamfer streaming tile (points per VMEM-resident block)")
 
 
 def reg_diffusion_param(reg: ConfigRegistry) -> None:
@@ -99,3 +107,7 @@ def reg_refine_sample_param(reg: ConfigRegistry) -> None:
                      is_list=True, default=[])
     reg.register("gaussian_perturb_range", prefix="train.data", category=float,
                  is_list=True, default=[0.02, 0.1])
+    reg.register("cache_target_h2o", prefix="train.data", category=bool, default=True,
+                 desc="precompute GT h2o once (drops the per-step target chamfer)")
+    reg.register("target_h2o_cache_dir", prefix="train.data", category=str, default="",
+                 desc="on-disk target_h2o cache (empty = in-memory)")

@@ -45,32 +45,44 @@ def build_model(reg) -> InteractionSegmentMDM:
             num_heads=int(m.get("num_heads", 4)),
             dropout=float(m.get("dropout", 0.1)),
             activation=str(m.get("activation", "gelu")),
+            cond_mask_prob=float(m.get("cond_mask_prob", 0.0)),
+            remat=bool(m.get("remat", False)),
+            compute_dtype=str(m.get("compute_dtype", "float32")),
         )
     )
 
 
-def evaluate_g(sampler, params, loader, clip, mesh, key, max_batches: int = 2):
+def evaluate_g(sampler, extra_fn, params, loader, clip, mesh, key, max_batches: int = 2):
     """val/test pass (reference launch/train.py:577-656): sample the model on
-    held-out segments and report masked MSE of the generated pose_repr vs GT.
-    Batched scan sampling replaces the reference's per-batch 1000-step loop.
-    `sampler` is a pre-built jitted make_g_sampler callable (one compile)."""
+    held-out segments, then run the geometric extra loss ON THE SAMPLES and
+    report the term breakdown (rec_joint/rec_vert/edge_len/dist_h/dist_o) plus
+    the masked MSE vs GT. Batched scan sampling replaces the reference's
+    per-batch 1000-step loop. `sampler`/`extra_fn` are pre-built jitted
+    callables (one compile each)."""
     from ..parallel.mesh import replicate as _rep, shard_batch as _shard
 
     params_r = _rep(params, mesh)
-    mses, n = [], 0
+    acc: dict[str, list] = {}
+    n = 0
     for batch in loader:
         if n >= max_batches:
             break
         batch = common.attach_text_emb(batch, clip)
         db = common.device_batch(batch)
+        sb = _shard(db, mesh)
         key, k = jax.random.split(key)
-        sample = sampler(params_r, _shard(db, mesh), k)
+        sample = sampler(params_r, sb, k)
         mse = D.masked_l2(
             jax.device_put(db["pose_repr"]), sample, jax.device_put(db["mask"])
         )
-        mses.append(np.asarray(jax.device_get(mse)))
+        acc.setdefault("sample_mse", []).append(float(np.mean(jax.device_get(mse))))
+        terms = extra_fn(sample, sb)
+        for tk, tv in terms.items():
+            a = jax.device_get(tv)
+            if np.ndim(a) == 0:
+                acc.setdefault(tk, []).append(float(a))
         n += 1
-    return float(np.mean(np.concatenate(mses))) if mses else float("nan")
+    return {k: float(np.mean(v)) for k, v in acc.items()}
 
 
 def _scalars(metrics):
@@ -154,9 +166,10 @@ def main(argv=None):
         state = load_checkpoint(train_cfg["reload_ckpt_model_filepath"], state, strict=False)
         _logger.info("reloaded ckpt from %s at step %d", train_cfg["reload_ckpt_model_filepath"], int(jax.device_get(state.step)))
 
+    chunk = int(train_cfg.get("chunk", 2048))
     step_fn = PT.make_g_train_step(
         model, sched, optimizer, mano_stack, assets, extra_cfg,
-        chunk=2048, mesh=mesh,
+        chunk=chunk, mesh=mesh,
     )
     state = replicate(state, mesh)
 
@@ -180,20 +193,35 @@ def main(argv=None):
     key = jax.random.PRNGKey(seed)
 
     # held-out loaders, built once (rank-0 only — reference loads val/test
-    # datasets on rank 0 only, launch/train.py:352-384)
+    # datasets on rank 0 only, launch/train.py:352-384). A split is attempted
+    # only when its source is configured; a configured-but-broken split RAISES
+    # instead of silently disappearing from the eval logs.
     eval_loaders = {}
     eval_sampler = None
+    eval_extra_fn = None
     if int(train_cfg.get("val_freq", 0) or 0) and is_coordinator():
+        data_cfg = reg.select("data")
         for split in ("val", "test"):
-            try:
-                ds = common.build_dataset(reg, split)
-                ld = common.build_loader(reg, ds, split, shuffle=False, drop_last=True)
-                if len(ld):
-                    eval_loaders[split] = ld
-            except (ValueError, KeyError):
-                pass
+            split_cfg = reg.select(split)
+            if not (
+                data_cfg.get("synthetic")
+                or split_cfg.get("cache_dict_filepath")
+                or split_cfg.get("process_range")
+            ):
+                _logger.info("%s split not configured; skipping its eval", split)
+                continue
+            ds = common.build_dataset(reg, split)
+            ld = common.build_loader(reg, ds, split, shuffle=False, drop_last=True)
+            if len(ld):
+                eval_loaders[split] = ld
         if eval_loaders:
             eval_sampler = PT.make_g_sampler(model, sched, mesh=mesh)
+            # geometric extra loss on the SAMPLED output (ref train.py:613-649)
+            eval_extra_fn = jax.jit(
+                lambda sample, b: LL.interaction_segment_extra_loss(
+                    mano_stack, assets, extra_cfg, sample, b, chunk=chunk
+                )[1]
+            )
 
     # optional device trace (runtime.profile_dir or TAMF_PROFILE_DIR)
     import os as _os
@@ -255,9 +283,15 @@ def main(argv=None):
         ):
             for split, eval_loader in eval_loaders.items():
                 key, k_eval = jax.random.split(key)
-                mse = evaluate_g(eval_sampler, state.params, eval_loader, clip, mesh, k_eval)
-                _logger.info("%s epoch %04d sample-vs-gt masked MSE: %f", split, epoch_id, mse)
-                writer.add_scalar(f"{split}/sample_mse", mse, global_step)
+                terms = evaluate_g(
+                    eval_sampler, eval_extra_fn, state.params, eval_loader, clip, mesh, k_eval
+                )
+                _logger.info(
+                    "%s epoch %04d sample eval | %s", split, epoch_id,
+                    " | ".join(f"{k}: {v:f}" for k, v in sorted(terms.items())),
+                )
+                for tk, tv in terms.items():
+                    writer.add_scalar(f"{split}/{tk}", tv, global_step)
 
     writer.close()
     return state

@@ -44,27 +44,53 @@ def build_refine_net(reg) -> SegmentRefineNet:
             num_heads=int(m.get("num_heads", 4)),
             dropout=float(m.get("dropout", 0.1)),
             activation=str(m.get("activation", "gelu")),
+            remat=bool(m.get("remat", False)),
+            compute_dtype=str(m.get("compute_dtype", "float32")),
         )
     )
 
 
-def build_r_train_dataset(reg):
+def _train_data_cfg(reg) -> dict:
+    try:
+        return reg.select("train.data")
+    except KeyError:
+        return {}
+
+
+def build_r_train_dataset(reg, mano_stack=None):
+    """-> (dataset, target_h2o_cache-or-None). With mano_stack given and
+    train.data.cache_target_h2o on, the BASE dataset is wrapped so both
+    adaptor views share one precomputed GT-h2o cache."""
+    from ..data.collate import SegmentCollate
+    from ..data.target_cache import TargetH2OCache
+
     base = common.build_dataset(reg, "train")
-    try:
-        sample_dirs = reg.select("train.data").get("pose_repr_sample_dir_list") or []
-    except KeyError:
-        sample_dirs = []
-    try:
-        sigma_range = reg.select("train.data").get("gaussian_perturb_range") or [0.02, 0.1]
-    except KeyError:
-        sigma_range = [0.02, 0.1]
+    tdc = _train_data_cfg(reg)
+    sample_dirs = tdc.get("pose_repr_sample_dir_list") or []
+    sigma_range = tdc.get("gaussian_perturb_range") or [0.02, 0.1]
+
+    cache = None
+    if mano_stack is not None and bool(tdc.get("cache_target_h2o", True)):
+        data_cfg = reg.select("data")
+        collate = SegmentCollate(
+            max_nobj=int(data_cfg.get("max_nobj", 4)),
+            n_obj_points=int(data_cfg.get("n_obj_points", 2048)),
+        )
+        cache = TargetH2OCache(
+            base, mano_stack, collate,
+            chunk=int(reg.select("train").get("chunk", 2048)),
+            cache_dir=tdc.get("target_h2o_cache_dir") or None,
+        )
+        base = cache
+
     parts = []
     if sample_dirs:
         parts.append(GeneratedPoseReprSampleAdaptor(base, sample_dirs))
     parts.append(
         GaussianPerturbSampleAdaptor(base, sigma_range, seed=int(reg.select("runtime").get("seed", 0)))
     )
-    return ConcatDataset(parts) if len(parts) > 1 else parts[0]
+    ds = ConcatDataset(parts) if len(parts) > 1 else parts[0]
+    return ds, cache
 
 
 def main(argv=None):
@@ -82,15 +108,18 @@ def main(argv=None):
     )
     train_cfg = reg.select("train")
     mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
-
-    dataset = build_r_train_dataset(reg)
-    loader = common.build_loader(reg, dataset, "train")
+    chunk = int(train_cfg.get("chunk", 2048))
 
     net = build_refine_net(reg)
     mano_path = reg.select("mano").get("mano_path") or None
     mano_stack = stack_mano_models(
         M.get_mano_model(mano_path, "right"), M.get_mano_model(mano_path, "left")
     )
+
+    dataset, t_cache = build_r_train_dataset(reg, mano_stack)
+    loader = common.build_loader(reg, dataset, "train")
+    if t_cache is not None:
+        t_cache.precompute()
     loss_yaml = train_cfg.get("loss", {})
     assets = LL.load_contact_assets(
         loss_yaml.get("vpe_path") or None, loss_yaml.get("c_weight_path") or None
@@ -123,7 +152,7 @@ def main(argv=None):
     if train_cfg.get("reload_ckpt_model_filepath"):
         state = load_checkpoint(train_cfg["reload_ckpt_model_filepath"], state, strict=False)
 
-    step_fn = PT.make_r_train_step(net, optimizer, mano_stack, assets, loss_cfg, chunk=2048, mesh=mesh)
+    step_fn = PT.make_r_train_step(net, optimizer, mano_stack, assets, loss_cfg, chunk=chunk, mesh=mesh)
     state = replicate(state, mesh)
 
     writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,

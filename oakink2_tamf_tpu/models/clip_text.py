@@ -311,19 +311,69 @@ def load_openai_clip_text_params(pt_path: str) -> dict:
     return {"params": p}
 
 
-class FrozenClipText:
-    """Frozen text encoder + tokenizer + per-prompt embedding cache."""
+BPE_FILENAME = "bpe_simple_vocab_16e6.txt.gz"
 
-    def __init__(self, checkpoint_path: str | None = None, bpe_path: str | None = None, seed: int = 0):
-        self.tokenizer = ClipTokenizer(bpe_path)
+
+def find_bpe_path(explicit: str | None = None, near: str | None = None) -> str | None:
+    """Locate the OpenAI CLIP BPE merges file: explicit path, $TAMF_CLIP_BPE,
+    next to `near` (e.g. the checkpoint), the repo asset dir, or the standard
+    openai/CLIP and our cache locations."""
+    candidates = [explicit, os.environ.get("TAMF_CLIP_BPE")]
+    if near:
+        candidates.append(os.path.join(os.path.dirname(os.path.abspath(near)), BPE_FILENAME))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates += [
+        os.path.join(os.path.dirname(here), "asset", "clip", BPE_FILENAME),
+        os.path.expanduser(os.path.join("~", ".cache", "clip", BPE_FILENAME)),
+        os.path.expanduser(os.path.join("~", ".cache", "tamf", BPE_FILENAME)),
+    ]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
+class FrozenClipText:
+    """Frozen text encoder + tokenizer + per-prompt embedding cache.
+
+    With a pretrained checkpoint, the REAL byte-BPE merges file is mandatory:
+    the hash-fallback tokenizer produces confidently wrong token ids, so
+    pretrained weights would emit garbage text features silently. Pass
+    `allow_hash_tokenizer=True` only for structural tests."""
+
+    def __init__(
+        self,
+        checkpoint_path: str | None = None,
+        bpe_path: str | None = None,
+        seed: int = 0,
+        allow_hash_tokenizer: bool = False,
+    ):
+        bpe_found = find_bpe_path(bpe_path, near=checkpoint_path)
+        self.tokenizer = ClipTokenizer(bpe_found)
         self.model = ClipTextEncoder()
         if checkpoint_path and os.path.isfile(checkpoint_path):
+            if not self.tokenizer.has_bpe and not allow_hash_tokenizer:
+                raise RuntimeError(
+                    "FrozenClipText: pretrained CLIP weights require the real BPE "
+                    f"merges file ({BPE_FILENAME}); the hash-fallback tokenizer would "
+                    "produce wrong token ids and therefore wrong text features. "
+                    "Provide clip.bpe_path / $TAMF_CLIP_BPE, place the file next to "
+                    "the checkpoint, or pass allow_hash_tokenizer=True (tests only). "
+                    f"(searched: explicit, env, checkpoint dir, asset/clip/, ~/.cache/clip/)"
+                )
             self.variables = load_openai_clip_text_params(checkpoint_path)
             self.pretrained = True
         else:
             dummy = jnp.zeros((1, CONTEXT_LENGTH), jnp.int32)
             self.variables = self.model.init(jax.random.PRNGKey(seed), dummy)
             self.pretrained = False
+            if not self.tokenizer.has_bpe:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "CLIP BPE merges not found — using the deterministic hash "
+                    "tokenizer (fine for random-init smoke runs, NOT for parity)"
+                )
         self._apply = jax.jit(lambda tokens: self.model.apply(self.variables, tokens))
         self._cache: dict[str, np.ndarray] = {}
 

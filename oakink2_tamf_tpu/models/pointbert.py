@@ -98,6 +98,11 @@ class MiniPointNet(nn.Module):
 
 
 class ViTBlock(nn.Module):
+    """Pre-LN ViT block with the reference's attention parameterization
+    (point_encoder.py:32-78): a FUSED qkv projection WITHOUT bias
+    (qkv_bias=False) and an out projection WITH bias — laid out so the torch
+    checkpoint's `attn.qkv.weight` [3C, C] maps 1:1 onto the `qkv` kernel."""
+
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
@@ -105,13 +110,19 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim, out_features=self.dim,
-            use_bias=False, deterministic=deterministic, name="attn",
-        )(h, h)
+        B, N, C = x.shape
+        hd = C // self.num_heads
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        qkv = nn.Dense(3 * C, use_bias=False, name="qkv")(h)
+        # torch layout: output dims factor as (3, heads, head_dim)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * hd**-0.5
+        attn = jax.nn.softmax(attn, axis=-1)
+        h = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        h = nn.Dense(C, name="proj")(h)
         x = x + self._drop_path(h, deterministic)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
@@ -170,7 +181,7 @@ class PointTransformer(nn.Module):
             x = ViTBlock(
                 cfg.trans_dim, cfg.num_heads, drop_path=float(dpr[i]), name=f"block_{i}"
             )(x + pos, deterministic=not train)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
         return jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)], axis=-1)
 
@@ -184,3 +195,88 @@ def compute_object_embedding(
         variables, jnp.asarray(pts)[None]
     )
     return np.asarray(out[0])
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-checkpoint port (torch -> flax)
+# ---------------------------------------------------------------------------
+
+
+def convert_pointbert_state_dict(
+    sd: dict, cfg: PointBertConfig = PointBertConfig()
+) -> dict:
+    """Convert a reference Point-BERT torch state_dict (numpy values, keys as
+    in model/pointbert/point_encoder.py:103-144 after the
+    `module.point_encoder.` strip of point_encoder.load_checkpoint:146-153)
+    into this module's {params, batch_stats} variable tree.
+
+    Layout rules: Conv1d(k=1) [out,in,1] -> Dense kernel w[:,:,0].T;
+    Linear [out,in] -> kernel w.T; BatchNorm1d running stats -> batch_stats.
+    """
+
+    def dense(prefix):
+        w = sd[prefix + ".weight"]
+        out = {"kernel": (w[:, :, 0] if w.ndim == 3 else w).T}
+        if prefix + ".bias" in sd:
+            out["bias"] = sd[prefix + ".bias"]
+        return out
+
+    def bn(prefix):
+        p = {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+        s = {"mean": sd[prefix + ".running_mean"], "var": sd[prefix + ".running_var"]}
+        return p, s
+
+    bn1_p, bn1_s = bn("encoder.first_conv.1")
+    bn2_p, bn2_s = bn("encoder.second_conv.1")
+    params: dict = {
+        "encoder": {
+            "conv1a": dense("encoder.first_conv.0"),
+            "bn1": bn1_p,
+            "conv1b": dense("encoder.first_conv.3"),
+            "conv2a": dense("encoder.second_conv.0"),
+            "bn2": bn2_p,
+            "conv2b": dense("encoder.second_conv.3"),
+        },
+        "reduce_dim": dense("reduce_dim"),
+        "cls_token": sd["cls_token"],
+        "cls_pos": sd["cls_pos"],
+        "pos_fc1": dense("pos_embed.0"),
+        "pos_fc2": dense("pos_embed.2"),
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    for i in range(cfg.depth):
+        pre = f"blocks.blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": {"scale": sd[pre + ".norm1.weight"], "bias": sd[pre + ".norm1.bias"]},
+            "qkv": dense(pre + ".attn.qkv"),
+            "proj": dense(pre + ".attn.proj"),
+            "norm2": {"scale": sd[pre + ".norm2.weight"], "bias": sd[pre + ".norm2.bias"]},
+            "mlp_fc1": dense(pre + ".mlp.fc1"),
+            "mlp_fc2": dense(pre + ".mlp.fc2"),
+        }
+    batch_stats = {"encoder": {"bn1": bn1_s, "bn2": bn2_s}}
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    batch_stats = jax.tree.map(lambda a: np.asarray(a, np.float32), batch_stats)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_pointbert_checkpoint(
+    pt_path: str, cfg: PointBertConfig = PointBertConfig()
+) -> dict:
+    """Load the reference's pretrained Point-BERT torch checkpoint (the file
+    README.md:118-126 has users download; wrapped as ckpt['state_dict'] with
+    `module.point_encoder.` prefixes, checkpoint.py usage at
+    point_encoder.py:146-153) and port the weights."""
+    import torch
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt.state_dict()
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module.point_encoder."):
+            k = k[len("module.point_encoder."):]
+        elif k.startswith("point_encoder."):
+            k = k[len("point_encoder."):]
+        if isinstance(v, torch.Tensor):
+            out[k] = v.detach().cpu().float().numpy()
+    return convert_pointbert_state_dict(out, cfg)

@@ -183,6 +183,37 @@ def multi_object_h2o_dist(
     return h2o.reshape(bs, L, nhv)
 
 
+def target_geometry(
+    mano_stack: M.ManoModel,
+    batch: dict[str, Any],
+    *,
+    chunk: int = 2048,
+) -> dict[str, jax.Array]:
+    """Geometry of the GT target (ref :219-248 target branch).
+
+    Pure function of the GT batch — no model params enter, so the train step
+    computes it OUTSIDE the grad closure (no residuals saved, nothing
+    differentiated). When the batch carries a precomputed `target_h2o`
+    (data/target_cache.TargetH2OCache), the expensive target chamfer pass is
+    skipped entirely and only the (cheap) MANO recovery runs."""
+    t_verts, t_joints, t_normals = batch_recover_mano(
+        mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+    )
+    if "target_h2o" in batch:
+        t_h2o = batch["target_h2o"]
+    else:
+        t_h2o = multi_object_h2o_dist(
+            t_verts, t_normals, batch["obj_traj"], batch["obj_points"],
+            batch["obj_mask"], chunk=chunk,
+        )
+    return {
+        "target_hand_verts": jax.lax.stop_gradient(t_verts),
+        "target_hand_joints": jax.lax.stop_gradient(t_joints),
+        "target_hand_normals": jax.lax.stop_gradient(t_normals),
+        "target_h2o_dist": jax.lax.stop_gradient(t_h2o),
+    }
+
+
 def refine_forward(
     net: SegmentRefineNet,
     variables,
@@ -238,18 +269,5 @@ def refine_forward(
     }
 
     if with_target:
-        t_verts, t_joints, t_normals = batch_recover_mano(
-            mano_stack, jax.lax.stop_gradient(batch["pose_repr"]), batch["shape"], batch["hand_side"]
-        )
-        t_h2o = multi_object_h2o_dist(
-            t_verts, t_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
-        )
-        res.update(
-            {
-                "target_hand_verts": jax.lax.stop_gradient(t_verts),
-                "target_hand_joints": jax.lax.stop_gradient(t_joints),
-                "target_hand_normals": jax.lax.stop_gradient(t_normals),
-                "target_h2o_dist": jax.lax.stop_gradient(t_h2o),
-            }
-        )
+        res.update(target_geometry(mano_stack, batch, chunk=chunk))
     return res

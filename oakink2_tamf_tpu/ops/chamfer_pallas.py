@@ -9,12 +9,14 @@ Why a kernel: the pairwise [P1, P2] distance matrix (25 MB/frame at P2=8192)
 must never be materialized in HBM; each [P1, TILE] distance block lives only
 in VMEM and both directions' running min/argmin accumulate in place.
 
-MEASURED (v5e, F=160 P1=778 P2=8192): XLA's lax.scan streaming formulation in
-core/geometry.py compiles to a fully-fused bandwidth-bound program
-(~57us steady-state ~= HBM-roundtrip speed-of-light for the ~50 MB touched),
-while this kernel's lane-dim argmin + broadcast relayouts run ~1ms. The XLA
-path therefore REMAINS THE DEFAULT everywhere; this kernel is kept as the
-explicit-VMEM implementation and a baseline for future kernel work.
+MEASURED (v5e, train-grade shapes with the custom VJP + MXU-native layouts
+below): this kernel pair is 1.82x faster than the XLA lax.scan streaming
+formulation in core/geometry.py, and is therefore THE DEFAULT on TPU —
+core/geometry.point2point_signed routes impl="auto" -> Pallas on TPU
+backends (core/geometry.py:138-148; see DESIGN.md "chamfer"). The XLA scan
+path remains the portable fallback (CPU tests, non-TPU backends) and the
+A/B baseline. (An earlier forward-only revision of this kernel lost to XLA
+on lane-dim argmin relayouts; the history lives in git, not here.)
 
 Compute/TPU layout:
 - BOTH operands ride coordinate-major ([5, P1p] / [5, TILE] augmented rows —

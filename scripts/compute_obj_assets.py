@@ -43,9 +43,21 @@ def main(argv=None):
     probe = jnp.zeros((1, args.n_points, 3))
     variables = model.init(jax.random.PRNGKey(0), probe)
     if args.pointbert_ckpt:
-        from oakink2_tamf_tpu.runtime.ckpt import load_checkpoint
+        if args.pointbert_ckpt.endswith((".pt", ".pth")):
+            # the reference's pretrained torch checkpoint (README.md:118-126)
+            from oakink2_tamf_tpu.models.pointbert import load_pointbert_checkpoint
 
-        variables = load_checkpoint(args.pointbert_ckpt, variables, strict=False)
+            variables = load_pointbert_checkpoint(args.pointbert_ckpt)
+            print(f"ported reference Point-BERT torch checkpoint {args.pointbert_ckpt}")
+        else:
+            from oakink2_tamf_tpu.runtime.ckpt import load_checkpoint
+
+            variables = load_checkpoint(args.pointbert_ckpt, variables, strict=False)
+    else:
+        print(
+            "WARNING: no --pointbert_ckpt given — embeddings come from RANDOM-INIT "
+            "weights and will NOT match the reference's downloaded obj_embedding/ assets"
+        )
     apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     if args.commit:

@@ -1,6 +1,11 @@
-"""CLIP text tower tests: tokenizer framing, encoder shapes, cache behavior."""
+"""CLIP text tower tests: tokenizer framing, BPE mechanics, encoder shapes,
+cache behavior, pretrained-without-merges refusal."""
+
+import gzip
+import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from oakink2_tamf_tpu.models import clip_text as C
@@ -31,6 +36,71 @@ def test_tokenizer_truncates():
     out = tok.tokenize([long], context_length=22, truncate=True)
     assert out.shape == (1, 22)
     assert out[0, -1] == C.EOT
+
+
+def _write_tiny_merges(path):
+    """A minimal merges file in the openai/CLIP format (header line + ranked
+    merge pairs)."""
+    merges = ["#version: 0.2 tiny", "h e", "he l", "hel l", "hell o</w>"]
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges) + "\n")
+
+
+def test_bpe_mechanics_tiny_merges(tmp_path):
+    """Hand-computed BPE against a tiny merges file: merge order, </w>
+    handling, byte-vocab id layout (bytes, then bytes</w>, then merges)."""
+    fp = tmp_path / "bpe_simple_vocab_16e6.txt.gz"
+    _write_tiny_merges(fp)
+    tok = C.ClipTokenizer(str(fp))
+    assert tok.has_bpe
+
+    # vocab layout: 256 byte symbols, 256 byte</w> symbols, 4 merges, 2 specials
+    n_bytes = 256
+    assert tok.encoder["he"] == 2 * n_bytes + 0
+    assert tok.encoder["hello</w>"] == 2 * n_bytes + 3
+
+    # "hello" fully merges: h e l l o</w> -> he l l o</w> -> hel l o</w>
+    #                       -> hell o</w> -> hello</w>
+    assert tok.encode("hello") == [tok.encoder["hello</w>"]]
+
+    # "help": he l p</w> -> hel p</w>; (hel, p</w>) is not a merge -> 2 tokens
+    p_endw_id = n_bytes + (ord("p") - ord("!"))  # printable ascii block order
+    assert tok.encode("help") == [tok.encoder["hel"], p_endw_id]
+
+    # framing unchanged: SOT/EOT ids are the full-vocab constants
+    out = tok.tokenize(["hello help"], context_length=8)
+    assert out[0, 0] == C.SOT and C.EOT in out[0]
+
+
+REAL_BPE = C.find_bpe_path()
+
+
+@pytest.mark.skipif(REAL_BPE is None, reason="real CLIP BPE merges not present")
+def test_bpe_golden_openai_ids():
+    """Golden token ids vs the OpenAI CLIP SimpleTokenizer (runs when the real
+    merges asset is installed; ref tokenization at mdm.py:111-132)."""
+    tok = C.ClipTokenizer(REAL_BPE)
+    assert tok.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+    assert tok.encode("a photo of a dog") == [320, 1125, 539, 320, 1929]
+    out = tok.tokenize(["a photo of a cat"], context_length=77)
+    np.testing.assert_array_equal(
+        out[0, :7], [C.SOT, 320, 1125, 539, 320, 2368, C.EOT]
+    )
+
+
+def test_pretrained_without_bpe_refuses(tmp_path, monkeypatch):
+    """A pretrained checkpoint with no merges file must fail loudly, not fall
+    back to the hash tokenizer."""
+    monkeypatch.delenv("TAMF_CLIP_BPE", raising=False)
+    if REAL_BPE is not None:
+        pytest.skip("real merges present; refusal path not reachable")
+    import torch
+
+    # minimal fake checkpoint file (contents never parsed before the raise)
+    fp = tmp_path / "clip.pt"
+    torch.save({}, fp)
+    with pytest.raises(RuntimeError, match="BPE"):
+        C.FrozenClipText(checkpoint_path=str(fp))
 
 
 def test_encoder_shapes_and_eot_feature():

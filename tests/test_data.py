@@ -187,6 +187,37 @@ def test_adaptors(dataset):
     _ = cc[len(dataset) + 1]
 
 
+def test_perturb_adaptor_threaded_determinism(dataset):
+    """The perturb noise must be reproducible under the threaded DataLoader
+    (per-index derived Generators; a shared stream raced across workers)."""
+    collate = SegmentCollate(max_nobj=3, n_obj_points=64)
+
+    def run_epoch(epoch):
+        perturb = GaussianPerturbSampleAdaptor(dataset, (0.02, 0.1), seed=7)
+        loader = DataLoader(
+            perturb, batch_size=2, collate_fn=collate, shuffle=True, seed=3,
+            num_shards=1, shard_index=0, num_workers=4,
+        )
+        loader.set_epoch(epoch)
+        return [np.asarray(b["sample_pose_repr"]) for b in loader]
+
+    a, b = run_epoch(0), run_epoch(0)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    # set_epoch refreshes the noise
+    c = run_epoch(1)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+    # epoch-0 draws differ across indices (not one repeated stream)
+    perturb = GaussianPerturbSampleAdaptor(dataset, (0.02, 0.1), seed=7)
+    s0, s1 = perturb[0], perturb[1]
+    assert not np.array_equal(
+        s0["sample_pose_repr"] - s0["pose_repr"], s1["sample_pose_repr"] - s1["pose_repr"]
+    )
+
+
 def test_generated_sample_adaptor(dataset, tmp_path):
     from oakink2_tamf_tpu.data.adaptors import GeneratedPoseReprSampleAdaptor
 

@@ -115,6 +115,78 @@ def test_r_train_step(mesh):
     assert float(metrics["loss"]) < l0
 
 
+def test_target_h2o_cache(mesh, tmp_path):
+    """TargetH2OCache: precomputed target_h2o equals the inline target chamfer,
+    target_geometry consumes it, and both storage modes round-trip."""
+    from oakink2_tamf_tpu.data.collate import SegmentCollate
+    from oakink2_tamf_tpu.data.target_cache import TargetH2OCache
+    from oakink2_tamf_tpu.launch import common
+    from oakink2_tamf_tpu.models.refine_r import target_geometry
+
+    base = common.SyntheticSegments(size=6, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    collate = SegmentCollate(max_nobj=NOBJ, n_obj_points=P)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+
+    cache = TargetH2OCache(base, mano_stack, collate, chunk=64, batch_size=4)
+    assert cache.precompute() == 6
+    assert cache.precompute() == 0  # idempotent
+
+    batch = collate([cache[i] for i in range(4)])
+    assert batch["target_h2o"].shape == (4, L, 778)
+    db = {k: jnp.asarray(v) for k, v in common.device_batch(batch).items()}
+
+    tg_cached = target_geometry(mano_stack, db, chunk=64)
+    db_inline = {k: v for k, v in db.items() if k != "target_h2o"}
+    tg_inline = target_geometry(mano_stack, db_inline, chunk=64)
+    np.testing.assert_allclose(
+        np.asarray(tg_cached["target_h2o_dist"]),
+        np.asarray(tg_inline["target_h2o_dist"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tg_cached["target_hand_verts"]),
+        np.asarray(tg_inline["target_hand_verts"]), atol=1e-6,
+    )
+
+    # disk-backed mode + lazy single-sample fallback (no precompute call)
+    disk = TargetH2OCache(
+        base, mano_stack, collate, chunk=64, batch_size=4, cache_dir=str(tmp_path / "t")
+    )
+    s = disk[2]  # cold miss -> computed + persisted
+    np.testing.assert_allclose(s["target_h2o"], cache[2]["target_h2o"], atol=1e-5)
+    assert disk._has(2) and not disk._has(0)
+
+
+def test_r_train_step_with_cached_target(mesh):
+    """The R step with a batch-carried target_h2o produces the same loss as the
+    inline target chamfer."""
+    rng = np.random.default_rng(11)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    batch = with_perturbed_sample(batch, rng)
+    net = SegmentRefineNet(RefineConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, dropout=0.0))
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    assets = LL.load_contact_assets()
+    cond = {k: batch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    params = net.init(jax.random.PRNGKey(0), batch["sample_pose_repr"], jnp.zeros((8, L, 778)), cond)
+    opt = PT.make_optimizer()
+    step = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=64, mesh=mesh)
+
+    from oakink2_tamf_tpu.models.refine_r import target_geometry
+
+    tgt = target_geometry(mano_stack, batch, chunk=64)
+    batch_cached = dict(batch, target_h2o=tgt["target_h2o_dist"])
+
+    # independent buffer copies: the step donates its state, so two states
+    # sharing leaves would hit deleted arrays on the second call
+    params2 = jax.tree.map(jnp.array, params)
+    s1 = replicate(PT.init_train_state(params, opt), mesh)
+    s2 = replicate(PT.init_train_state(params2, opt), mesh)
+    _, m_inline = step(s1, shard_batch(batch, mesh), jax.random.PRNGKey(5))
+    _, m_cached = step(s2, shard_batch(batch_cached, mesh), jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        float(m_cached["loss"]), float(m_inline["loss"]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_encoder_train_step(mesh):
     rng = np.random.default_rng(4)
     batch = synthetic_batch(rng, batch_size=16, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
