@@ -125,6 +125,17 @@ def load_mano_model(mano_assets_root: str, side: str = "right") -> ManoModel:
     path = _find_mano_pkl(mano_assets_root, side)
     with open(path, "rb") as f:
         data = _ChumpyFreeUnpickler(io.BytesIO(f.read()), encoding="latin1").load()
+    # The kinematic tree is baked into mano_forward's static FK unroll
+    # (PARENTS). Verify the asset agrees instead of silently diverging.
+    if "kintree_table" in data:
+        kt = np.asarray(_to_np(data["kintree_table"]))
+        parents = kt[0].astype(np.int64)
+        parents[0] = -1  # root is stored as uint32 max
+        if tuple(int(p) for p in parents) != PARENTS:
+            raise ValueError(
+                f"MANO asset {path} kintree {tuple(parents)} != expected {PARENTS}; "
+                "core/mano.PARENTS must match the asset's kintree_table"
+            )
     # NOTE: leaves stay HOST numpy arrays. Jitted consumers embed them as
     # MLIR constants directly from host memory; device-resident leaves would
     # force a D2H fetch per array at lowering time (minutes over a TPU tunnel).

@@ -87,3 +87,55 @@ def test_mano_left_hand_matches_numpy():
     v, j = M.mano_forward(model, jnp.asarray(quat), jnp.asarray(betas))
     np.testing.assert_allclose(np.asarray(v), ref_v, atol=2e-5)
     np.testing.assert_allclose(np.asarray(j), ref_j, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Checked-in golden fixtures
+# ---------------------------------------------------------------------------
+
+import os
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+SYNTH_FIXTURE = os.path.join(FIXTURE_DIR, "mano_golden_synthetic.npz")
+REAL_FIXTURE = os.path.join(FIXTURE_DIR, "mano_golden_real.npz")
+
+import pytest
+
+
+def test_mano_matches_checked_in_golden():
+    """Golden fixture generated ONCE by tests/gen_mano_fixture.py — a
+    manotorch-style torch implementation (SMPL homogeneous-matrix FK, rotation
+    half running the reference's own dev_fn quat_to_rotmat). Committed outputs
+    guard against all implementations drifting together."""
+    data = np.load(SYNTH_FIXTURE)
+    for side in ("right", "left"):
+        model = M.synthetic_mano_model(side)
+        q = jnp.asarray(data[f"{side}_pose_quat"])
+        b = jnp.asarray(data[f"{side}_betas"])
+        v, j = M.mano_forward(model, q, b)
+        np.testing.assert_allclose(np.asarray(v), data[f"{side}_verts"], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(j), data[f"{side}_joints"], atol=3e-5)
+
+
+@pytest.mark.skipif(
+    not (os.path.isfile(REAL_FIXTURE) and os.environ.get("TAMF_MANO_PATH")),
+    reason="real manotorch golden fixture / MANO assets not installed "
+    "(generate with scripts/dump_mano_golden.py where manotorch is available)",
+)
+def test_mano_matches_real_manotorch_golden():
+    """Golden parity vs the REAL manotorch ManoLayer on the REAL MANO assets:
+    runs when scripts/dump_mano_golden.py has produced the fixture (needs
+    manotorch + licensed MANO pkls, neither shippable here) and
+    $TAMF_MANO_PATH points at the assets."""
+    data = np.load(REAL_FIXTURE)
+    root = os.environ["TAMF_MANO_PATH"]
+    for side in ("right", "left"):
+        key = f"{side}_pose_quat"
+        if key not in data:
+            continue
+        model = M.load_mano_model(root, side)
+        q = jnp.asarray(data[f"{side}_pose_quat"])
+        b = jnp.asarray(data[f"{side}_betas"])
+        v, j = M.mano_forward(model, q, b)
+        np.testing.assert_allclose(np.asarray(v), data[f"{side}_verts"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j), data[f"{side}_joints"], atol=1e-4)
