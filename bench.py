@@ -1,17 +1,34 @@
-"""Benchmark: reverse-diffusion samples/sec/chip on MF-MDM G arch_mdm_l.
+"""Benchmark: reverse-diffusion samples/sec/chip on MF-MDM G arch_mdm_l,
+plus train-step throughput (G with geometric losses, R with cached target h2o)
+and MFU accounting.
 
-Measures the headline configuration (BASELINE.json): full 1000-step DDPM
-reverse chain, arch_mdm_l (latent 512, ff 2048, 8 layers), seq_len 160,
-conditioning identical in structure to production.
+Headline (BASELINE.json): full 1000-step DDPM reverse chain, arch_mdm_l
+(latent 512, ff 2048, 8 layers), seq_len 160, conditioning identical in
+structure to production.
 
 - "ours": batched on-device lax.scan chain (the framework's sampling path).
 - "reference-structure emulation": batch-size 1 with one dispatched device
   step per denoise iteration from a python loop — the reference's sampling
   shape (launch/sample.py:202-229: bs=1, 1000 sequential steps) measured on
   the SAME chip, so vs_baseline isolates the architectural win (batching +
-  scan fusion) from hardware differences.
+  scan fusion) from hardware differences. The ratio moves with host load;
+  the absolute samples/s and MFU numbers are the stable figures.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+- MFU: XLA compiled-program cost_analysis flops / wall time / per-chip peak
+  (bf16 MXU peak by device kind — the scaling-book convention; XLA lowers
+  f32 matmuls onto the MXU). Reported per benchmark when the backend exposes
+  cost analysis.
+
+- train benchmarks (skip with BENCH_TRAIN=0): one optimizer step at
+  production shapes — G: arch_mdm_l + interaction_segment_extra_loss
+  (MANO + chamfer on 2x8192 points), R: arch_mdm + refine_forward with the
+  precomputed target-h2o path (the production default since round 2).
+
+With >1 visible device, everything runs sharded over a 1-D data mesh and
+values are reported PER CHIP.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Human-readable per-benchmark lines go to stderr.
 """
 
 from __future__ import annotations
@@ -25,16 +42,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# per-chip bf16 MXU peak FLOP/s by device kind substring (scaling-book values)
+PEAK_FLOPS = [
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _peak_flops(device) -> float | None:
+    kind = (getattr(device, "device_kind", "") or "").lower()
+    if device.platform != "tpu":
+        return None
+    for sub, peak in PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def _timeit(fn, n_rep=3):
+    """Best-of-n wall time; a scalar value fetch closes each rep (the TPU
+    tunnel was observed to return early from block_until_ready with queued
+    work — the fetch forces true completion)."""
+    times = []
+    for i in range(n_rep):
+        t0 = time.perf_counter()
+        out = fn(i)
+        import jax
+
+        leaf = jax.tree.leaves(out)[0]
+        leaf.block_until_ready()
+        _ = np.asarray(leaf).ravel()[0]
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    # optional PRNG implementation override (threefry default; 'rbg' is a
-    # faster counter-based generator — set via config because this image's
-    # sitecustomize imports jax before env vars can apply)
     if os.environ.get("BENCH_PRNG"):
         jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+
+    # persistent compile cache: the three big programs (scan chain + two train
+    # steps) cost minutes to compile through the TPU tunnel; repeat runs reuse
+    cache_dir = os.environ.get("TAMF_COMPILE_CACHE", os.path.expanduser("~/.cache/tamf_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from oakink2_tamf_tpu.core import diffusion as D
     from oakink2_tamf_tpu.data.synthetic import synthetic_batch
@@ -45,6 +116,33 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     seq_len = int(os.environ.get("BENCH_SEQLEN", "160"))
     ref_iters = int(os.environ.get("BENCH_REF_STEPS", "50"))  # emulation sample count
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    peak = _peak_flops(devices[0])
+    extra: dict = {"n_devices": n_dev, "device_kind": getattr(devices[0], "device_kind", "?")}
+
+    mesh = None
+    if n_dev > 1:
+        from oakink2_tamf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        batch = max(batch, n_dev) - (max(batch, n_dev) % n_dev)  # divisible
+        print(f"# mesh over {n_dev} devices; global batch {batch}", file=sys.stderr)
+
+    def maybe_shard(tree):
+        if mesh is None:
+            return tree
+        from oakink2_tamf_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(tree, mesh)
+
+    def maybe_rep(tree):
+        if mesh is None:
+            return tree
+        from oakink2_tamf_tpu.parallel.mesh import replicate
+
+        return replicate(tree, mesh)
 
     import dataclasses as _dc
 
@@ -63,7 +161,6 @@ def main():
     t0 = jnp.zeros((batch,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t0, cond)
     if compute_dtype == "bfloat16":
-        # pre-cast weights once so the scan body doesn't re-cast per step
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a,
             params,
@@ -76,23 +173,49 @@ def main():
 
         return D.p_sample_loop(model_fn, sched, (batch, seq_len, 99), key, clip_denoised=False)
 
-    sample_jit = jax.jit(sample_batched)
-    out = sample_jit(params, cond, jax.random.PRNGKey(0))
-    _ = float(out[0, 0, 0])  # compile + warmup (value fetch = hard sync)
+    if mesh is None:
+        sample_jit = jax.jit(sample_batched)
+    else:
+        from oakink2_tamf_tpu.parallel.mesh import batch_sharding, replicated
 
-    # per-rep timing with a scalar value fetch: block_until_ready through the
-    # TPU tunnel was observed to return early with queued work, so each rep is
-    # dispatch -> block -> fetch (the fetch forces true completion)
-    n_rep = 3
-    times = []
-    for i in range(n_rep):
-        t0 = time.perf_counter()
-        out = sample_jit(params, cond, jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
-        _ = float(out[0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    ours_sps = batch / elapsed
+        sample_jit = jax.jit(
+            sample_batched,
+            in_shardings=(replicated(mesh), batch_sharding(mesh), replicated(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+    params_r = maybe_rep(params)
+    cond_s = maybe_shard(cond)
+    # compile ONCE and reuse the executable (lower().compile() does not
+    # populate the jit cache — calling sample_jit after would recompile)
+    sample_exe = sample_jit.lower(params_r, cond_s, jax.random.PRNGKey(0)).compile()
+    # XLA cost analysis counts a scan body ONCE (trip counts are not
+    # multiplied) — flops come from a single denoiser forward x steps instead
+    fwd_jit = jax.jit(
+        lambda p, c, xx, tt: model.apply(p, xx, tt, c, deterministic=True)
+    )
+    fwd_flops = _flops_of(
+        fwd_jit.lower(
+            params_r, cond_s,
+            jax.ShapeDtypeStruct((batch, seq_len, 99), jnp.float32),
+            jax.ShapeDtypeStruct((batch,), jnp.int32),
+        ).compile()
+    )
+    sample_flops = fwd_flops * steps if fwd_flops else None
+    out = sample_exe(params_r, cond_s, jax.random.PRNGKey(0))
+    _ = float(np.asarray(out).ravel()[0])  # warmup sync
+
+    elapsed = _timeit(lambda i: sample_exe(params_r, cond_s, jax.random.PRNGKey(i + 1)))
+    ours_sps = batch / elapsed / max(n_dev, 1)
+    if sample_flops and peak:
+        extra["sampling_mfu"] = round(sample_flops / elapsed / (peak * n_dev), 4)
+    if sample_flops:
+        extra["sampling_tflops_per_chip"] = round(sample_flops / elapsed / n_dev / 1e12, 2)
+    print(
+        f"# sampling: {ours_sps:.2f} samples/s/chip ({elapsed:.3f}s/chain)"
+        + (f", {extra.get('sampling_tflops_per_chip', '?')} TF/s/chip" if sample_flops else "")
+        + (f", MFU {extra['sampling_mfu']:.1%}" if "sampling_mfu" in extra else ""),
+        file=sys.stderr,
+    )
 
     # --- reference-structure emulation: bs=1, per-step dispatch ------------
     cond1 = jax.tree.map(lambda a: a[:1], cond)
@@ -117,6 +240,14 @@ def main():
     _ = float(xx[0, 0, 0])
     ref_step_time = (time.perf_counter() - t_start) / ref_iters
     ref_sps = 1.0 / (ref_step_time * steps)  # bs=1 sample takes `steps` dispatches
+    print(f"# reference-structure emulation: {ref_sps:.4f} samples/s/chip", file=sys.stderr)
+
+    # --- train-step benchmarks ---------------------------------------------
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep)
+        except Exception as e:  # train bench is auxiliary; never sink the headline
+            print(f"# train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -125,9 +256,95 @@ def main():
                 "value": round(ours_sps, 4),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(ours_sps / ref_sps, 2),
+                "extra": extra,
             }
         )
     )
+
+
+def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep):
+    """One optimizer step at production shapes for G (geometric losses) and R
+    (cached-target path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oakink2_tamf_tpu.core import mano as M
+    from oakink2_tamf_tpu.data.synthetic import synthetic_batch, with_perturbed_sample
+    from oakink2_tamf_tpu.core import diffusion as D
+    from oakink2_tamf_tpu.models import losses as LL
+    from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
+    from oakink2_tamf_tpu.models.refine_r import (
+        RefineConfig, SegmentRefineNet, stack_mano_models, target_geometry,
+    )
+    from oakink2_tamf_tpu.parallel import train as PT
+
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+    if n_dev > 1:
+        bs = max(bs, n_dev) - (max(bs, n_dev) % n_dev)
+    L = int(os.environ.get("BENCH_SEQLEN", "160"))
+    nobj, P = 2, int(os.environ.get("BENCH_OBJ_POINTS", "8192"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "2048"))
+
+    rng = np.random.default_rng(1)
+    batch = synthetic_batch(rng, batch_size=bs, seq_len=L, max_nobj=nobj, n_obj_points=P)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    assets = LL.load_contact_assets()
+
+    def measure_step(name, step_exe, state, sbatch, flops):
+        state, _ = step_exe(state, sbatch, jax.random.PRNGKey(0))  # warm
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            state, metrics = step_exe(state, sbatch, jax.random.PRNGKey(i + 1))
+            _ = float(np.asarray(metrics["loss"]))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        sps = bs / dt / max(n_dev, 1)
+        extra[f"{name}_samples_per_sec_per_chip"] = round(sps, 2)
+        extra[f"{name}_step_ms"] = round(dt * 1e3, 1)
+        msg = f"# {name}: {dt*1e3:.0f} ms/step, {sps:.2f} samples/s/chip"
+        if flops and peak:
+            extra[f"{name}_mfu"] = round(flops / dt / (peak * n_dev), 4)
+            msg += f", MFU {extra[f'{name}_mfu']:.1%}"
+        print(msg, file=sys.stderr)
+        return state
+
+    # G train step: arch_mdm_l + extra geometric losses
+    g_model = InteractionSegmentMDM(MDMConfig.arch_mdm_l())
+    sched = D.tamf_schedule(1000)
+    cond = PT.g_cond_from_batch(batch)
+    params = g_model.init(
+        jax.random.PRNGKey(0), batch["pose_repr"], np.zeros((bs,), np.int32), cond
+    )
+    opt = PT.make_optimizer()
+    state = maybe_rep(PT.init_train_state(params, opt))
+    step_g = PT.make_g_train_step(
+        g_model, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=chunk, mesh=mesh
+    )
+    sbatch = maybe_shard(batch)
+    exe_g = step_g.lower(state, sbatch, jax.random.PRNGKey(0)).compile()
+    flops_g = _flops_of(exe_g)
+    state = measure_step("train_g", exe_g, state, sbatch, flops_g)
+    del state, step_g, exe_g, params
+
+    # R train step: arch_mdm + cached target h2o (production default)
+    rbatch = with_perturbed_sample(batch, rng)
+    tgt_fn = jax.jit(lambda bb: target_geometry(mano_stack, bb, chunk=chunk)["target_h2o_dist"])
+    rbatch = dict(rbatch, target_h2o=np.asarray(tgt_fn(rbatch)))
+    net = SegmentRefineNet(RefineConfig())
+    cond_r = {k: rbatch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    params = net.init(
+        jax.random.PRNGKey(0), rbatch["sample_pose_repr"],
+        jnp.zeros(rbatch["sample_pose_repr"].shape[:2] + (778,)), cond_r,
+    )
+    opt = PT.make_optimizer()
+    state = maybe_rep(PT.init_train_state(params, opt))
+    step_r = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=chunk, mesh=mesh)
+    sbatch_r = maybe_shard(rbatch)
+    exe_r = step_r.lower(state, sbatch_r, jax.random.PRNGKey(0)).compile()
+    flops_r = _flops_of(exe_r)
+    measure_step("train_r", exe_r, state, sbatch_r, flops_r)
 
 
 if __name__ == "__main__":

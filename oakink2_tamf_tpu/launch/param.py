@@ -99,6 +99,10 @@ def reg_sample_param(reg: ConfigRegistry) -> None:
     reg.register("sampler", prefix="sample", category=str, default="ddpm",
                  choices=["ddpm", "ddim", "plms"])
     reg.register("save_prefix", prefix="sample", category=str, default="")
+    reg.register("num_shards", prefix="sample", category=int, default=0,
+                 desc="0 = jax.process_count(); explicit for external launchers")
+    reg.register("shard_index", prefix="sample", category=int, default=-1,
+                 desc="-1 = jax.process_index()")
 
 
 def reg_refine_sample_param(reg: ConfigRegistry) -> None:

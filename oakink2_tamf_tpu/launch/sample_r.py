@@ -6,6 +6,13 @@ Output layout matches the reference:
   <ckpt_path>/sample/<offset>/<process_key with / -> ++>/<prim_id>/<hand_side>/save_dict.pkl
 with keys {process_key, info, hand_side, joints, verts, faces (closed),
 obj_list, len, frame_id, refine_pose_repr}. Dedup by info, like the reference.
+
+Parallelism (reference sample_refine.py:264-292 shards 8 worker processes):
+- across hosts: the DEDUPED segment list is split into contiguous per-process
+  ranges (same contract as sample_g.py:99-104); override with
+  --sample.num_shards/--sample.shard_index for external launchers
+- across chips: refine_forward is jitted over the 1-D data mesh with the
+  batch sharded on its leading axis
 """
 
 from __future__ import annotations
@@ -45,7 +52,7 @@ def main(argv=None):
     )
     sample_cfg = reg.select("sample")
     split = sample_cfg.get("split", "test")
-    make_mesh()  # ensure devices visible
+    mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
 
     base = common.build_dataset(reg, split)
     try:
@@ -93,15 +100,21 @@ def main(argv=None):
             params = load_checkpoint(fp, params, strict=False)
             _logger.info("loaded refine model from %s", fp)
 
+    from ..parallel.mesh import batch_sharding, replicate, replicated
+
     fwd = jax.jit(
-        lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False)
+        lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
     )
+    params = replicate(params, mesh)
 
     out_root = os.path.join(run_dir.path, "sample", sample_cfg.get("save_prefix") or run_dir.exp_id)
 
-    seen = set()
     n_done = 0
     bs = int(sample_cfg.get("batch_size", 8))
+    n_mesh = mesh.devices.size
+    bs = max(bs, n_mesh) - (max(bs, n_mesh) % n_mesh)  # divisible by the mesh
     pending: list[dict] = []
 
     def flush(pending):
@@ -150,12 +163,27 @@ def main(argv=None):
             n_done += 1
         _logger.info("refined %d segments", n_done)
 
+    # dedup by info over the WHOLE dataset (reference sample_refine.py:221-232),
+    # then shard the deduped work list into contiguous per-process ranges
+    # (sample_g.py:99-104 contract). num_shards/shard_index default to the jax
+    # process topology; the explicit knobs support external launchers and tests.
+    seen = set()
+    work: list[int] = []
     for i in range(len(dataset)):
-        s = dataset[i]
-        if tuple(s["info"]) in seen:
+        info = tuple(dataset[i]["info"])
+        if info in seen:
             continue
-        seen.add(tuple(s["info"]))
-        pending.append(s)
+        seen.add(info)
+        work.append(i)
+    W = int(sample_cfg.get("num_shards", 0) or 0) or jax.process_count()
+    w = sample_cfg.get("shard_index", None)
+    w = jax.process_index() if w is None or int(w) < 0 else int(w)
+    n = len(work)
+    mine = work[(n * w) // W : (n * (w + 1)) // W]
+    _logger.info("shard %d/%d: %d of %d deduped segments", w, W, len(mine), n)
+
+    for i in mine:
+        pending.append(dataset[i])
         if len(pending) == bs:
             flush(pending)
             pending = []

@@ -214,6 +214,31 @@ def target_geometry(
     }
 
 
+def sample_geometry(
+    mano_stack: M.ManoModel,
+    batch: dict[str, Any],
+    *,
+    chunk: int = 2048,
+) -> dict[str, jax.Array]:
+    """Geometry of the INPUT sample (ref :193-208): MANO recovery + h2o of
+    sample_pose_repr. Pure function of the batch — no model params — so the
+    train step computes it OUTSIDE the grad closure (like target_geometry);
+    only the refined branch needs differentiation."""
+    s_verts, s_joints, s_normals = batch_recover_mano(
+        mano_stack, batch["sample_pose_repr"], batch["shape"], batch["hand_side"]
+    )
+    s_h2o = multi_object_h2o_dist(
+        s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
+        batch["obj_mask"], chunk=chunk,
+    )
+    return {
+        "sample_hand_verts": s_verts,
+        "sample_hand_joints": s_joints,
+        "sample_hand_normals": s_normals,
+        "sample_h2o_dist": s_h2o,
+    }
+
+
 def refine_forward(
     net: SegmentRefineNet,
     variables,
@@ -224,10 +249,13 @@ def refine_forward(
     with_target: bool = True,
     chunk: int = 2048,
     rngs=None,
+    sample_geom: dict[str, jax.Array] | None = None,
 ) -> dict[str, jax.Array]:
     """Full reference forward (ref :170-250): geometry for the input sample,
     the network's residual refinement, geometry for the refined output, and
-    (optionally) for the GT target — same output keys as the reference."""
+    (optionally) for the GT target — same output keys as the reference.
+    Pass `sample_geom` (from sample_geometry) to reuse a precomputed input
+    branch (the train step computes it outside the grad closure)."""
     x_in = batch["sample_pose_repr"]
     cond = {
         "hand_side": batch["hand_side"],
@@ -238,12 +266,12 @@ def refine_forward(
     }
     obj_pts = batch["obj_points"]
 
-    s_verts, s_joints, s_normals = batch_recover_mano(
-        mano_stack, x_in, batch["shape"], batch["hand_side"]
-    )
-    s_h2o = multi_object_h2o_dist(
-        s_verts, s_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
-    )
+    if sample_geom is None:
+        sample_geom = sample_geometry(mano_stack, batch, chunk=chunk)
+    s_verts = sample_geom["sample_hand_verts"]
+    s_joints = sample_geom["sample_hand_joints"]
+    s_normals = sample_geom["sample_hand_normals"]
+    s_h2o = sample_geom["sample_h2o_dist"]
 
     output = net.apply(
         variables, x_in, s_h2o, cond, deterministic=deterministic, rngs=rngs

@@ -71,6 +71,24 @@ def _dot(a, b, dims):
     )
 
 
+# PERF NOTE (v5e, measured 2026-08): the per-(frame, tile) cost here is close
+# to the pairwise floor, NOT reduction-bound as it first appears.
+# - The augmented K=5 matmul is OUTPUT-RATE-bound on the MXU: each [128, 128]
+#   output tile occupies a full systolic pass regardless of K, so the
+#   [P1p, P2] block costs ~P1p*P2/128 cycles (~122 us/frame at 896x16384) —
+#   a "matmul-only" microbenchmark reads 15 us only because Mosaic prunes the
+#   unused columns.
+# - jnp.min/argmin over the lane axis adds ~50-70 us/frame. A halving-tree of
+#   elementwise minima (lane slices) CRASHES this Mosaic version's compiler
+#   (tpu_compile_helper exit 1 / layout check "limits 112 vs 1"); a
+#   reshape-based two-stage min compiles, matches exactly, and measured
+#   NEUTRAL-to-slower (213 vs 190 us/frame at tile=16384) — the flat
+#   reduction stays.
+# Going materially faster requires not computing all pairs (per-object
+# cluster pruning in the canonical frame — future work; breaks exactness
+# guarantees vs the full search).
+
+
 def _nn_kernel(
     xa_ref, na_ref, ya_ref,
     h2o_d_ref, h2o_i_ref, o2h_d_ref, o2h_i_ref, o2h_dot_ref,
@@ -212,6 +230,17 @@ def _prep_operands(x, y, y_valid, x_normals, tile):
     return xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp)
 
 
+def _cost(flops: float, *arrays) -> "pl.CostEstimate":
+    """Cost estimate for XLA cost analysis (custom calls otherwise report 0
+    flops, which silently breaks MFU accounting in bench.py). `flops` counts
+    the dominant MXU contractions; bytes from the operand/result footprints."""
+    return pl.CostEstimate(
+        flops=int(flops),
+        transcendentals=0,
+        bytes_accessed=int(sum(a.size * a.dtype.itemsize for a in arrays if a is not None)),
+    )
+
+
 def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot)."""
     if x_normals is None:
@@ -243,6 +272,7 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
         out_specs=(_col, _col, _row, _row, _row),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(10 * Fp * P1p * P2p, xa, na, ya),
         interpret=interpret,
     )(xa, na, ya)
 
@@ -322,6 +352,7 @@ def _nn_h2o_forward(x, y, y_valid, tile, interpret):
             jax.ShapeDtypeStruct((Fp, 1, P1p), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(10 * Fp * P1p * P2p, xa, ya),
         interpret=interpret,
     )(xa, ya)
     return h2o_d[:F, 0, :P1], h2o_i[:F, 0, :P1]
@@ -402,6 +433,7 @@ def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret):
             jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(13 * Fp * P1p * P2p, xT, yT, h2o_i, xr),
         interpret=interpret,
     )(xT, yT, h2o_i, xr)
 
@@ -576,6 +608,7 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
         ),
         # two f32 one-hot [P1p, tile] masks blow the default 16M scoped vmem
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(26 * Fp * P1p * P2p, xT, yT, h2o_i, o2h_i, xr, yc),
         interpret=interpret,
     )(xT, yT, h2o_i, o2h_i, xr, yc)
 

@@ -254,21 +254,24 @@ def make_r_train_step(
     chunk: int = 2048,
     mesh=None,
 ) -> Callable:
-    from ..models.refine_r import target_geometry
+    from ..models.refine_r import sample_geometry, target_geometry
 
     def step_fn(state: TrainState, batch: dict[str, Any], rng: jax.Array):
         k_dropout = rng
-        # target geometry is GT-only (no params): stays outside the grad
-        # closure so AD never sees it; with a cached batch["target_h2o"]
-        # the target chamfer pass vanishes entirely (ref recomputed all of
-        # it under no_grad every step, segment_refine_model.py:219-248)
+        # target AND sample geometry are batch-only (no params): both stay
+        # outside the grad closure so AD never sees them — only the refined
+        # branch (net + its geometry) is differentiated. With a cached
+        # batch["target_h2o"] the target chamfer pass vanishes entirely
+        # (ref recomputed all three branches inside the graph every step,
+        # segment_refine_model.py:193-248)
         tgt = target_geometry(mano_stack, batch, chunk=chunk)
+        sg = jax.lax.stop_gradient(sample_geometry(mano_stack, batch, chunk=chunk))
 
         def loss_fn(params):
             out = refine_forward(
                 net, params, mano_stack, batch,
                 deterministic=False, with_target=False, chunk=chunk,
-                rngs={"dropout": k_dropout},
+                rngs={"dropout": k_dropout}, sample_geom=sg,
             )
             out.update(tgt)
             loss, terms = LL.segment_refine_loss(assets, loss_cfg, out, batch)

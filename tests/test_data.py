@@ -187,6 +187,154 @@ def test_adaptors(dataset):
     _ = cc[len(dataset) + 1]
 
 
+class _Prim:
+    """Primitive-task record with the oakink2_toolkit access pattern
+    (attribute AND item access; reference interaction_segment.py:32-54)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __getitem__(self, k):
+        return self.__dict__[k]
+
+
+class _Complex:
+    def __init__(self, exec_path):
+        self.exec_path = exec_path
+
+
+class _Affordance:
+    def __init__(self, mesh):
+        self.obj_mesh = mesh
+
+
+class _BoxMesh:
+    def __init__(self):
+        self.vertices = np.zeros((8, 3), np.float32)
+        self.faces = np.zeros((12, 3), np.int32)
+
+
+class FakeToolkit:
+    """Minimal oakink2_toolkit stand-in: one complex task with three
+    primitives — rh-only, bimanual, and an lh primitive with no objects
+    (must be skipped)."""
+
+    RAW = 12  # raw frames per primitive
+
+    def _prim(self, pid, hand_involved, obj_ids, beg):
+        n = self.RAW
+        rng = np.random.default_rng(beg)  # deterministic per primitive
+        eye = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        quat = np.zeros((n, 16, 4), np.float32)
+        quat[..., 0] = 1.0  # identity (w,x,y,z)
+        kw = dict(
+            frame_range=(beg, beg + n),
+            hand_involved=hand_involved,
+            task_desc=f"task {pid}",
+            obj_transf={oid: eye + 0 for oid in obj_ids},
+        )
+        for hs in ("lh", "rh"):
+            kw[f"frame_range_{hs}"] = (beg, beg + n)
+            kw[f"{hs}_obj_list"] = list(obj_ids) if hand_involved in ("bh", hs) else []
+            # in_range_mask longer than the window: mask selects the segment
+            kw[f"{hs}_in_range_mask"] = np.concatenate(
+                [np.ones(n, bool), np.zeros(3, bool)]
+            )
+            kw[f"{hs}_param"] = {
+                "pose_coeffs": np.concatenate([quat, np.zeros((3, 16, 4), np.float32)]),
+                "tsl": rng.normal(size=(n + 3, 3)).astype(np.float32),
+                "betas": rng.normal(size=(n + 3, 10)).astype(np.float32),
+            }
+        return _Prim(**kw)
+
+    def load_complex_task(self, seq_key):
+        assert seq_key == "scene/seq_a"
+        return _Complex(["grip:0001", "place_onto:0002", "hold:0003"])
+
+    def load_primitive_task(self, complex_task_data):
+        return [
+            self._prim("grip:0001", "rh", ["obj_A"], beg=100),
+            self._prim("place_onto:0002", "bh", ["obj_A", "obj_B"], beg=200),
+            self._prim("hold:0003", "lh", [], beg=300),  # no objects -> skipped
+        ]
+
+    def load_affordance(self, obj_id):
+        return _Affordance(_BoxMesh())
+
+
+def test_raw_toolkit_extraction():
+    """The complex->primitive walk (segment.py:145-201 / ref :56-158) on a
+    fake toolkit: hand gating, in_range_mask, gap slicing, frame ids."""
+    tk = FakeToolkit()
+    ds = InteractionSegmentData(
+        process_range_list=["scene/seq_a"],
+        toolkit=tk,
+        target_fps=60.0,  # gap = 120/60 = 2
+        slice_min_len=4,
+        slice_max_len=8,
+        enable_obj_model=True,
+    )
+    # rh-only prim -> 1 hand, bh prim -> 2 hands, empty-obj prim skipped;
+    # each (prim, hand) emits gap=2 phase-shifted slices
+    assert len(ds) == (1 + 2) * 2
+    infos = {tuple(i) for i in ds.info_list}
+    assert infos == {
+        ("scene/seq_a", "grip:0001", "rh"),
+        ("scene/seq_a", "place_onto:0002", "rh"),
+        ("scene/seq_a", "place_onto:0002", "lh"),
+    }
+    assert ds.object_list == ["obj_A", "obj_B"]
+
+    s = ds[0]  # grip, rh, phase 0
+    assert s["len"] == 6  # 12 raw frames / gap 2
+    assert s["pose_repr"].shape == (8, 99)
+    # identity quats -> identity rot6d
+    np.testing.assert_allclose(s["pose_repr"][0, 3:9], [1, 0, 0, 0, 1, 0], atol=1e-6)
+    # frame ids: raw window [100, 112) downsampled by gap 2, phase 0
+    assert s["frame_id"] == [100, 102, 104, 106, 108, 110]
+    # tsl matches the masked raw stream at those offsets
+    prim = tk.load_primitive_task(None)[0]
+    raw_tsl = prim["rh_param"]["tsl"][prim["rh_in_range_mask"]]
+    np.testing.assert_allclose(s["pose_repr"][:6, :3], raw_tsl[0::2], atol=1e-6)
+    # phase-1 slice starts one raw frame later
+    s1 = ds[1]
+    assert s1["frame_id"][0] == 101
+
+    # obj stores: bimanual prim has both objects, identity transf -> tslrot6d
+    sb = next(ds[i] for i in range(len(ds)) if ds.info_list[i][1] == "place_onto:0002")
+    assert sb["obj_num"] == 2 and sb["obj_list"] == ["obj_A", "obj_B"]
+    np.testing.assert_allclose(sb["obj_traj"][0, 0], [0, 0, 0, 1, 0, 0, 0, 1, 0], atol=1e-6)
+    # affordance meshes loaded through enable_obj_model
+    assert len(sb["obj_verts"]) == 2 and sb["obj_verts"][0].shape == (8, 3)
+
+    # cache round-trip preserves the toolkit-extracted store
+    cache = ds.get_cache()
+    ds2 = InteractionSegmentData(cache_dict=cache, slice_max_len=8)
+    assert len(ds2) == len(ds)
+    np.testing.assert_allclose(ds2[3]["pose_repr"], ds[3]["pose_repr"])
+
+
+def test_reverse_augmentation_equivalence_toolkit():
+    """Reverse augmentation on the toolkit-built store matches a hand-computed
+    reversal of every field (ref load_reverse_segment :160-265 reverses the
+    SLICED arrays in place, exactly like _append_reverse)."""
+    ds = InteractionSegmentData(
+        process_range_list=["scene/seq_a"], toolkit=FakeToolkit(),
+        target_fps=60.0, slice_min_len=4, slice_max_len=8,
+        append_reverse_segment=True,
+    )
+    n0 = len(ds) // 2
+    for i in range(n0):
+        fwd, rev = ds[i], ds[n0 + i]
+        n = fwd["len"]
+        assert rev["len"] == n and rev["info"] == fwd["info"]
+        np.testing.assert_allclose(rev["pose_repr"][:n], fwd["pose_repr"][:n][::-1], atol=1e-6)
+        np.testing.assert_allclose(rev["pose_repr"][n:], fwd["pose_repr"][n:], atol=1e-6)
+        np.testing.assert_allclose(rev["obj_traj"][:, :n], fwd["obj_traj"][:, :n][:, ::-1], atol=1e-6)
+        assert rev["frame_id"] == fwd["frame_id"][::-1]
+        np.testing.assert_allclose(rev["shape"][:n], fwd["shape"][:n][::-1], atol=1e-6)
+
+
 def test_perturb_adaptor_threaded_determinism(dataset):
     """The perturb noise must be reproducible under the threaded DataLoader
     (per-index derived Generators; a shared stream raced across workers)."""

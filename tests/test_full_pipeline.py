@@ -70,13 +70,16 @@ def test_full_two_stage_pipeline(tmp_path):
         ]
         assert len(found) == 16
 
-        # 5) metrics over the refined tree
-        for which in ("cr", "psklj", "fid"):
+        # 5) all four metrics over the refined tree (SIV uses the synthetic
+        # box meshes via obj_verts/obj_faces on a tiny grid)
+        for which in ("cr", "siv", "psklj", "fid"):
             res = compute_score.main(
                 [which, "--cfg", SMOKE,
                  "--score.sample_dir", out_root,
                  "--score.sdf_resolution", "24", "--score.frame_stride", "16"]
             )
             assert all(np.isfinite(v) for v in res.values() if isinstance(v, float)), (which, res)
+            if "n_frames" in res:
+                assert res["n_frames"] > 0, (which, res)
     finally:
         os.chdir(cwd)

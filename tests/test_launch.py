@@ -134,3 +134,33 @@ def test_sample_r_e2e(tmp_path):
     assert d["joints"].shape == (32, 21, 3)
     assert d["refine_pose_repr"].shape == (32, 99)
     assert d["faces"].ndim == 2
+
+
+def _tree_keys(out_root):
+    keys = set()
+    for root, _, files in os.walk(out_root):
+        for f in files:
+            if f == "save_dict.pkl":
+                keys.add(os.path.relpath(os.path.join(root, f), out_root))
+    return keys
+
+
+def test_sample_r_sharded_disjoint_complete(tmp_path):
+    """Two shards (sample.num_shards=2) must produce DISJOINT trees whose
+    union equals the single-shard run (multi-host contract; reference
+    sample_refine.py:264-292 shards worker processes the same way)."""
+    trees = []
+    for w in (0, 1):
+        wd = tmp_path / f"shard{w}"
+        wd.mkdir()
+        out_root = run_in_tmp(
+            wd, "sample_r",
+            ["--cfg", SMOKE, "--exp_id", "smoke_srs", "--sample.batch_size", "8",
+             "--sample.split", "test", "--sample.num_shards", "2",
+             "--sample.shard_index", str(w), "--commit"],
+            print_expr="s",
+        )
+        trees.append(_tree_keys(out_root))
+    assert trees[0] and trees[1]
+    assert not (trees[0] & trees[1]), "shards overlap"
+    assert len(trees[0] | trees[1]) == 16, "union incomplete"
