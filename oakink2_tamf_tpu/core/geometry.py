@@ -65,6 +65,9 @@ def nearest_neighbor(
     only [P1, chunk] at a time. y_valid [P2] optionally masks padded points.
     """
     p2 = y.shape[0]
+    # clamp: a chunk larger than the point set would PAD y up to the chunk
+    # (e.g. 256 points at chunk=2048 -> 8x wasted distance work)
+    chunk = min(chunk, p2)
     pad = (-p2) % chunk
     if pad:
         y = jnp.concatenate([y, jnp.full((pad, 3), 1e9, y.dtype)], axis=0)
@@ -109,6 +112,13 @@ def _on_tpu() -> bool:
         return False
 
 
+def _clamp_tile(chunk: int, p2: int) -> int:
+    """Pallas tile for the y axis: at least one 512-lane block, at most the
+    (128-rounded) point count — a tile larger than the point set would pad y
+    up to the tile (8x wasted work at 256 points with the 2048 default)."""
+    return max(512, min(chunk, -(-p2 // 128) * 128))
+
+
 def point2point_signed(
     x: jax.Array,
     y: jax.Array,
@@ -142,7 +152,8 @@ def point2point_signed(
         from ..ops.chamfer_pallas import point2point_signed_pallas
 
         return point2point_signed_pallas(
-            x, y, x_normals=x_normals, y_valid=y_valid, tile=max(chunk, 512)
+            x, y, x_normals=x_normals, y_valid=y_valid,
+            tile=_clamp_tile(chunk, y.shape[1])
         )
 
     return _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk)
@@ -163,7 +174,9 @@ def point2point_h2o(
     if backend == "pallas" or (backend == "auto" and _on_tpu()):
         from ..ops.chamfer_pallas import point2point_h2o_pallas
 
-        return point2point_h2o_pallas(x, y, y_valid=y_valid, tile=max(chunk, 512))
+        return point2point_h2o_pallas(
+            x, y, y_valid=y_valid, tile=_clamp_tile(chunk, y.shape[1])
+        )
     _, x2y, _ = _point2point_signed_xla(x, y, None, None, y_valid, chunk)
     return x2y
 

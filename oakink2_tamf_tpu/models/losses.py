@@ -105,6 +105,30 @@ def _per_object_signed(
     return o2h.reshape(bs, nobj, L, P), h2o.reshape(bs, nobj, L, vh)
 
 
+def extra_loss_gt_geometry(
+    mano_stack: M.ManoModel,
+    batch: dict[str, Any],
+    *,
+    chunk: int = 2048,
+    with_chamfer: bool = True,
+) -> dict[str, jax.Array]:
+    """GT-side geometry of the G extra loss — a pure function of the batch
+    (no model output), so the train step computes it OUTSIDE the grad closure
+    and passes it into the checkpointed loss as an input (never recomputed in
+    the backward, no policy ambiguity). `moved` (world-frame object clouds) is
+    included: the pred-side chamfer consumes the same tensor."""
+    verts_gt, joints_gt, normals_gt = batch_recover_mano(
+        mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+    )
+    out = {"verts_gt": verts_gt, "joints_gt": joints_gt, "normals_gt": normals_gt}
+    if with_chamfer:
+        transf = T.tslrot6d_to_transf(batch["obj_traj"])  # [bs, nobj, L, 4, 4]
+        moved = T.transf_point_array(transf, batch["obj_points"][:, :, None])
+        o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, moved, chunk)
+        out.update({"moved": moved, "o2h_g": o2h_g, "h2o_g": h2o_g})
+    return out
+
+
 def interaction_segment_extra_loss(
     mano_stack: M.ManoModel,
     assets: ContactAssets,
@@ -113,8 +137,11 @@ def interaction_segment_extra_loss(
     batch: dict[str, Any],
     *,
     chunk: int = 2048,
+    gt_geom: dict[str, jax.Array] | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """G's geometric losses (ref extra_loss.py:85-197), fully batched."""
+    """G's geometric losses (ref extra_loss.py:85-197), fully batched.
+    Pass `gt_geom` (from extra_loss_gt_geometry) to reuse a precomputed GT
+    branch (the train step computes it outside the grad closure)."""
     mask = batch["mask"]  # [bs, L]
     L = mask.shape[1]
     mask_coef = L / jnp.maximum(jnp.sum(mask, axis=1), 1.0)  # [bs]
@@ -125,12 +152,14 @@ def interaction_segment_extra_loss(
     # ~760 MB of savable activations)
     from jax.ad_checkpoint import checkpoint_name
 
-    verts_gt, joints_gt, normals_gt = (
-        checkpoint_name(t, "geom_res")
-        for t in batch_recover_mano(
-            mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+    need_chamfer = cfg.coef_dist_h > 0.0 or cfg.coef_dist_o > 0.0
+    if gt_geom is None:
+        gt_geom = extra_loss_gt_geometry(
+            mano_stack, batch, chunk=chunk, with_chamfer=need_chamfer
         )
-    )
+        gt_geom = {k: checkpoint_name(v, "geom_res") for k, v in gt_geom.items()}
+    verts_gt, joints_gt = gt_geom["verts_gt"], gt_geom["joints_gt"]
+
     verts_pred, joints_pred, normals_pred = (
         checkpoint_name(t, "geom_res")
         for t in batch_recover_mano(
@@ -157,11 +186,9 @@ def interaction_segment_extra_loss(
     terms["edge_len"] = jnp.sum(mask_coef * jnp.mean(ed, axis=(1, 2, 3)))
 
     # per-object signed-distance losses
-    if cfg.coef_dist_h > 0.0 or cfg.coef_dist_o > 0.0:
-        transf = T.tslrot6d_to_transf(batch["obj_traj"])  # [bs, nobj, L, 4, 4]
-        moved = T.transf_point_array(transf, batch["obj_points"][:, :, None])
+    if need_chamfer:
+        moved, o2h_g, h2o_g = gt_geom["moved"], gt_geom["o2h_g"], gt_geom["h2o_g"]
         o2h_p, h2o_p = _per_object_signed(verts_pred, normals_pred, moved, chunk)
-        o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, moved, chunk)
 
         obj_mask = batch["obj_mask"].astype(mask.dtype)  # [bs, nobj]
         num_obj = jnp.maximum(jnp.sum(obj_mask, axis=1), 1.0)  # [bs]

@@ -146,6 +146,18 @@ def make_g_train_step(
 
         cond = g_cond_from_batch(batch)
 
+        # GT-side geometry is batch-only (no params): computed once, outside
+        # the grad closure (mirrors the R step; the reference recomputes it
+        # in-graph every step, extra_loss.py:95-178)
+        gt_geom = None
+        if use_extra:
+            gt_geom = jax.lax.stop_gradient(
+                LL.extra_loss_gt_geometry(
+                    mano_stack, batch, chunk=chunk,
+                    with_chamfer=extra_cfg.coef_dist_h > 0.0 or extra_cfg.coef_dist_o > 0.0,
+                )
+            )
+
         def loss_fn(params):
             def model_fn(x, tt):
                 return model.apply(
@@ -173,15 +185,20 @@ def make_g_train_step(
                 # recompute them in the backward pass instead of saving. The
                 # chamfer residual rows are exempted (checkpoint-named in
                 # ops/chamfer_pallas._p2ps_fwd): they are small and keeping
-                # them means the backward never re-runs the NN kernels
+                # them means the backward never re-runs the NN kernels.
+                # gt_geom enters as an INPUT of the checkpointed region (it
+                # is computed once outside the grad closure below): the GT
+                # MANO + chamfer branch is neither differentiated nor ever
+                # recomputed in the backward pass.
                 extra, terms = jax.checkpoint(
-                    lambda mo: LL.interaction_segment_extra_loss(
-                        mano_stack, assets, extra_cfg, mo, batch, chunk=chunk
+                    lambda mo, gg: LL.interaction_segment_extra_loss(
+                        mano_stack, assets, extra_cfg, mo, batch,
+                        chunk=chunk, gt_geom=gg,
                     ),
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "chamfer_res", "geom_res"
                     ),
-                )(aux["model_output"])
+                )(aux["model_output"], gt_geom)
                 total = total + extra
                 metrics.update({f"extra/{k}": v for k, v in terms.items()})
             metrics["loss"] = total
