@@ -96,10 +96,13 @@ def main(argv=None):
     if run_dir.commit:
         os.makedirs(out_dir, exist_ok=True)
 
-    # host-sharded contiguous index ranges (sample.py:198-200 semantics)
+    # host-sharded contiguous index ranges (sample.py:198-200 semantics);
+    # sample.num_shards/shard_index override the jax process topology for
+    # external launchers (same contract as sample_r)
     n = len(dataset)
-    W = jax.process_count()
-    w = jax.process_index()
+    W = int(sample_cfg.get("num_shards", 0) or 0) or jax.process_count()
+    w = sample_cfg.get("shard_index", None)
+    w = jax.process_index() if w is None or int(w) < 0 else int(w)
     lo, hi = (n * w) // W, (n * (w + 1)) // W
     indices = list(range(lo, hi))
 
