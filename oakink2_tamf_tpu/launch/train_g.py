@@ -279,7 +279,8 @@ def main(argv=None):
 
         val_freq = int(train_cfg.get("val_freq", 0) or 0)
         if val_freq and is_coordinator() and (
-            (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
+            # first/periodic/last epochs (ref launch/train.py:580-581)
+            epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
             for split, eval_loader in eval_loaders.items():
                 key, k_eval = jax.random.split(key)

@@ -192,7 +192,8 @@ def main(argv=None):
         # val/test deterministic forward + loss (train_refine.py val passes)
         val_freq = int(train_cfg.get("val_freq", 0) or 0)
         if val_freq and is_coordinator() and (
-            (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
+            # first/periodic/last epochs (ref launch/train.py:580-581)
+            epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
             for split in ("val", "test"):
                 try:

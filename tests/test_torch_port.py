@@ -113,6 +113,91 @@ def test_g_checkpoint_port_end_to_end():
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
 
 
+class TorchRefR(tnn.Module):
+    """Reference SegmentRefineModel NETWORK math (segment_refine_model.py:
+    71-97, 170-216): 3 cond tokens (no text/timestep), 3-stream input merge
+    with the h2o feature, residual output — same state_dict key names."""
+
+    def __init__(self):
+        super().__init__()
+        self.hand_shape_process = tnn.Module()
+        self.hand_shape_process.shape_embed = tnn.Linear(10, D)
+        self.obj_embed_process = tnn.Module()
+        self.obj_embed_process.embedding = tnn.Linear(768, D)
+        self.input_process = tnn.Module()
+        self.input_process.poseEmbedding = tnn.Linear(99, D)
+        self.obj_input_process = tnn.Module()
+        self.obj_input_process.poseEmbedding = tnn.Linear(9, D)
+        self.h2o_dist_input_process = tnn.Module()
+        self.h2o_dist_input_process.poseEmbedding = tnn.Linear(778, D)
+        self.input_merge = tnn.Sequential(tnn.Linear(3 * D, D), tnn.SiLU(), tnn.Linear(D, D))
+        layer = tnn.TransformerEncoderLayer(
+            d_model=D, nhead=HEADS, dim_feedforward=FF, dropout=0.0,
+            activation="gelu", batch_first=True,
+        )
+        self.seqTransEncoder = tnn.TransformerEncoder(layer, num_layers=LAYERS)
+        self.output_process = tnn.Module()
+        self.output_process.poseFinal = tnn.Linear(D, 99)
+        self.register_buffer("pe", pe_table(D))
+
+    def forward(self, x_in, h2o, hand_side, shape, obj_traj, obj_embedding):
+        e0 = torch.zeros(D)
+        e0[0] = 1.0
+        emb_hs = hand_side.float()[:, None] * e0[None]
+        emb_shape = self.hand_shape_process.shape_embed(shape.mean(dim=1))
+        emb_obj = self.obj_embed_process.embedding(obj_embedding.mean(dim=1))
+        emb = torch.stack([emb_hs, emb_shape, emb_obj], dim=1)  # [bs, 3, D]
+
+        hand = self.input_process.poseEmbedding(x_in)
+        obj = self.obj_input_process.poseEmbedding(obj_traj).mean(dim=1)
+        h2o_e = self.h2o_dist_input_process.poseEmbedding(h2o)
+        merged = self.input_merge(torch.cat([hand, obj, h2o_e], dim=-1))
+
+        seq = torch.cat([emb, merged], dim=1)
+        seq = seq + self.pe[: seq.shape[1]][None]
+        out = self.seqTransEncoder(seq)[:, 3:]
+        return x_in + self.output_process.poseFinal(out)  # residual (ref :216)
+
+
+def test_r_checkpoint_port_end_to_end():
+    from oakink2_tamf_tpu.models.refine_r import RefineConfig, SegmentRefineNet
+
+    torch.manual_seed(1)
+    ref = TorchRefR().eval()
+    rng = np.random.default_rng(2)
+
+    x_in = rng.normal(size=(BS, L, 99)).astype(np.float32)
+    h2o = np.abs(rng.normal(size=(BS, L, 778))).astype(np.float32)
+    hand_side = np.array([1, 0, 1], np.int32)
+    shape = rng.normal(size=(BS, L, 10)).astype(np.float32)
+    obj_traj = rng.normal(size=(BS, NOBJ, L, 9)).astype(np.float32)
+    obj_embedding = rng.normal(size=(BS, NOBJ, 768)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x_in), torch.from_numpy(h2o),
+            torch.from_numpy(hand_side.astype(np.int64)), torch.from_numpy(shape),
+            torch.from_numpy(obj_traj), torch.from_numpy(obj_embedding),
+        ).numpy()
+
+    sd = {k: v for k, v in ref.state_dict().items() if k != "pe"}
+    variables = TP.convert_r_state_dict(sd, num_layers=LAYERS, num_heads=HEADS)
+
+    net = SegmentRefineNet(
+        RefineConfig(latent_dim=D, ff_size=FF, num_layers=LAYERS, num_heads=HEADS,
+                     dropout=0.0, activation="gelu_exact")
+    )
+    cond = {
+        "hand_side": jnp.asarray(hand_side),
+        "shape": jnp.asarray(shape),
+        "obj_traj": jnp.asarray(obj_traj),
+        "obj_embedding": jnp.asarray(obj_embedding),
+        "obj_mask": jnp.ones((BS, NOBJ), bool),
+    }
+    out = net.apply(variables, jnp.asarray(x_in), jnp.asarray(h2o), cond, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+
 def test_encoder_checkpoint_port_shapes():
     """Structural check for the encoder converter (head Sequential remap +
     classification_token buffer)."""
