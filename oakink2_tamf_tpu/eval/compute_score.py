@@ -166,8 +166,20 @@ def run_fid(reg, dataset, save_dicts, mano_stack) -> dict:
     params = model.init(jax.random.PRNGKey(0), dprobe["pose_repr"], cond)
     enc_fp = reg.select("score").get("encoder_filepath")
     if enc_fp:
-        params = load_checkpoint(enc_fp, params, strict=False)
-        _logger.info("loaded encoder from %s", enc_fp)
+        if enc_fp.endswith(".pt"):
+            # the reference's trained FID encoder (README.md:206-211,
+            # encoder__fid_1/save/model_0399.pt): port the torch weights
+            from ..interop.torch_port import load_reference_checkpoint
+
+            m = reg.select("model")
+            params = load_reference_checkpoint(
+                enc_fp, "encoder", num_layers=int(m.get("num_layers", 2)),
+                num_heads=int(m.get("num_heads", 4)),
+            )
+            _logger.info("ported reference encoder checkpoint %s", enc_fp)
+        else:
+            params = load_checkpoint(enc_fp, params, strict=False)
+            _logger.info("loaded encoder from %s", enc_fp)
     apply_fn = jax.jit(lambda p, x, c: model.apply(p, x, c, deterministic=True))
 
     gt_acts, md_acts = [], []

@@ -104,6 +104,55 @@ def test_fid_identity_refinement(setup):
     assert res["n_segments"] == len(dataset)
 
 
+def test_fid_with_reference_pt_encoder(setup, tmp_path):
+    """run_fid loads the reference's torch encoder checkpoint directly
+    (README.md:206-211 recipe: --score.encoder_filepath .../model_0399.pt)."""
+    import torch
+
+    reg, dataset, sample_dir, mano_stack = setup
+    d = int(reg.select("model").get("latent_dim", 32))
+    ff = int(reg.select("model").get("ff_size", 64))
+    layers = int(reg.select("model").get("num_layers", 2))
+
+    # minimal reference-keyed encoder state_dict (same layout the reference's
+    # save_state writes after the module-prefix strip)
+    sd_t = {}
+    def lin(prefix, i, o):
+        sd_t[f"{prefix}.weight"] = torch.randn(o, i) * 0.05
+        sd_t[f"{prefix}.bias"] = torch.randn(o) * 0.05
+
+    lin("hand_shape_process.shape_embed", 10, d)
+    lin("obj_embed_process.embedding", 768, d)
+    lin("input_process.poseEmbedding", 99, d)
+    lin("obj_input_process.poseEmbedding", 9, d)
+    lin("input_merge.0", 2 * d, d)
+    lin("input_merge.2", d, d)
+    for i in range(layers):
+        p = f"seqTransEncoder.layers.{i}"
+        sd_t[f"{p}.self_attn.in_proj_weight"] = torch.randn(3 * d, d) * 0.05
+        sd_t[f"{p}.self_attn.in_proj_bias"] = torch.randn(3 * d) * 0.05
+        lin(f"{p}.self_attn.out_proj", d, d)
+        lin(f"{p}.linear1", d, ff)
+        lin(f"{p}.linear2", ff, d)
+        sd_t[f"{p}.norm1.weight"] = torch.ones(d); sd_t[f"{p}.norm1.bias"] = torch.zeros(d)
+        sd_t[f"{p}.norm2.weight"] = torch.ones(d); sd_t[f"{p}.norm2.bias"] = torch.zeros(d)
+    lin("output_process.poseFinal.0", d, d)
+    lin("output_process.poseFinal.2", d, d)
+    lin("output_process.poseFinal.4", d, 70)
+    sd_t["classification_token"] = torch.zeros(1, 1, d)
+    fp = tmp_path / "model_0399.pt"
+    torch.save(sd_t, fp)
+
+    reg.values["score.encoder_filepath"] = str(fp)
+    try:
+        sd = CS.load_save_dicts(sample_dir)
+        res = CS.run_fid(reg, dataset, sd, mano_stack)
+        # identity refinement through ANY fixed encoder -> FID ~ 0
+        assert res["fid"] == pytest.approx(0.0, abs=1e-3)
+    finally:
+        reg.values["score.encoder_filepath"] = ""
+
+
 def test_siv_identity_refinement(setup):
     reg, dataset, sample_dir, mano_stack = setup
     sd = CS.load_save_dicts(sample_dir)
