@@ -156,6 +156,9 @@ def test_fid_with_reference_pt_encoder(setup, tmp_path):
 def test_siv_identity_refinement(setup):
     reg, dataset, sample_dir, mano_stack = setup
     sd = CS.load_save_dicts(sample_dir)
+    # a 4-segment subset exercises the full SIV plumbing at 1/4 the cost
+    keep = set(list(sd.keys())[:4])
+    sd = {k: v for k, v in sd.items() if k in keep}
     res = CS.run_siv(reg, dataset, sd, mano_stack)
     # identity refinement -> identical SIV; values finite and non-negative
     assert res["n_frames"] > 0

@@ -38,34 +38,34 @@ def icosphere(r=0.1, n=2, center=(0.0, 0.0, 0.0)):
 
 def test_process_sdf_sphere_sign_and_magnitude():
     verts, faces = icosphere(r=0.1, center=(0.3, -0.2, 0.5))
-    data = S.process_sdf(verts, faces, resolution=24, n_surface_samples=4000)
+    data = S.process_sdf(verts, faces, resolution=20, n_surface_samples=2000)
 
-    assert data.sdf.shape == (24**3,)
-    assert data.point.shape == (24**3, 3)
+    assert data.sdf.shape == (20**3,)
+    assert data.point.shape == (20**3, 3)
     np.testing.assert_allclose(data.mesh_center, [0.3, -0.2, 0.5], atol=1e-6)
 
     # sign convention: positive INSIDE
     d_center = np.linalg.norm(data.point - data.mesh_center, axis=1)
     inside = data.sdf > 0
-    assert inside[d_center < 0.07].mean() > 0.95
-    assert (~inside)[d_center > 0.13].mean() > 0.95
+    assert inside[d_center < 0.065].mean() > 0.9
+    assert (~inside)[d_center > 0.135].mean() > 0.9
     # magnitude ~= |r - distance to center| for a sphere
-    sel = (d_center > 0.02) & (d_center < 0.118)
+    sel = (d_center > 0.025) & (d_center < 0.115)
     np.testing.assert_allclose(
-        np.abs(data.sdf[sel]), np.abs(0.1 - d_center[sel]), atol=0.015
+        np.abs(data.sdf[sel]), np.abs(0.1 - d_center[sel]), atol=0.02
     )
 
 
 def test_reconstruct_sdf_recovers_sphere():
     verts, faces = icosphere(r=0.1, center=(0.3, -0.2, 0.5))
-    data = S.process_sdf(verts, faces, resolution=28, n_surface_samples=4000)
+    data = S.process_sdf(verts, faces, resolution=20, n_surface_samples=2000)
     rec = S.reconstruct_sdf(
         data.sdf, data.mesh_center, data.extent_expanded, data.resolution
     )
     assert len(rec.vert) > 100 and len(rec.face) > 100
     # reconstructed verts lie on the r=0.1 sphere around the center
     rad = np.linalg.norm(rec.vert - data.mesh_center, axis=1)
-    np.testing.assert_allclose(rad, 0.1, atol=0.02)
+    np.testing.assert_allclose(rad, 0.1, atol=0.03)  # ~half a 12 mm cell
     # faces index valid verts; normals unit and mostly outward
     assert rec.face.min() >= 0 and rec.face.max() < len(rec.vert)
     np.testing.assert_allclose(np.linalg.norm(rec.normal, axis=1), 1.0, atol=1e-6)
