@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from oakink2_tamf_tpu.launch.common import SyntheticSegments
 from oakink2_tamf_tpu.models.mdm_g import MDMConfig
@@ -9,7 +10,9 @@ from oakink2_tamf_tpu.models.refine_r import RefineConfig
 from oakink2_tamf_tpu.serving import TamfPipeline
 
 
-def tiny_pipeline():
+@pytest.fixture(scope="module")
+def pipe():
+    # ONE pipeline for the module: each load compiles the G chain + R forward
     return TamfPipeline.load(
         g_config=MDMConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, dropout=0.0),
         r_config=RefineConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, dropout=0.0),
@@ -21,8 +24,7 @@ def tiny_pipeline():
     )
 
 
-def test_pipeline_generate():
-    pipe = tiny_pipeline()
+def test_pipeline_generate(pipe):
     ds = SyntheticSegments(6, seq_len=24, max_nobj=2, n_obj_points=64)
     segments = [ds[i] for i in range(6)]  # 6 = 1.5 compiled batches
     results = pipe.generate(segments, key=jax.random.PRNGKey(0))
@@ -34,8 +36,7 @@ def test_pipeline_generate():
         assert np.all(np.isfinite(r["refine_pose_repr"]))
 
 
-def test_pipeline_deterministic():
-    pipe = tiny_pipeline()
+def test_pipeline_deterministic(pipe):
     ds = SyntheticSegments(2, seq_len=24, max_nobj=2, n_obj_points=64)
     segs = [ds[0], ds[1]]
     r1 = pipe.generate(segs, key=jax.random.PRNGKey(7))
