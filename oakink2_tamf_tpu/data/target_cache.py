@@ -20,6 +20,8 @@ point long production runs at a disk dir).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 import os
 import time
@@ -52,6 +54,45 @@ class TargetH2OCache:
         self._single_fn = None
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
+            self._check_fingerprint()
+
+    def _fingerprint(self) -> str:
+        """Cheap identity of (dataset, collate shapes, geometry config): a
+        reused cache_dir must refuse to serve targets computed under a
+        different dataset or padding — that would silently train R against
+        wrong GT distances."""
+        h = hashlib.md5()
+        probe = self.base[0]
+        h.update(np.ascontiguousarray(probe["pose_repr"], np.float32).tobytes())
+        h.update(np.ascontiguousarray(probe["shape"], np.float32).tobytes())
+        for leaf in (self.mano_stack.v_template, self.mano_stack.j_regressor):
+            h.update(np.ascontiguousarray(leaf, np.float32)[:8].tobytes())
+        key = {
+            "n": len(self.base),
+            "max_nobj": int(self.collate.max_nobj),
+            "n_obj_points": int(self.collate.n_obj_points),
+            "chunk": self.chunk,
+            "probe_md5": h.hexdigest(),
+        }
+        return json.dumps(key, sort_keys=True)
+
+    def _check_fingerprint(self) -> None:
+        fp = self._fingerprint()
+        meta = os.path.join(self.cache_dir, "meta.json")
+        if os.path.isfile(meta):
+            with open(meta) as f:
+                on_disk = f.read()
+            if on_disk != fp:
+                raise ValueError(
+                    f"target_h2o cache {self.cache_dir} was built for a DIFFERENT "
+                    "dataset/config (meta.json mismatch). Point at a fresh dir or "
+                    "delete the stale cache."
+                )
+        else:
+            tmp = meta + f".{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                f.write(fp)
+            os.replace(tmp, meta)
 
     # -- dataset protocol ---------------------------------------------------
 
@@ -84,7 +125,9 @@ class TargetH2OCache:
 
     def _store(self, index: int, h2o: np.ndarray) -> None:
         if self.cache_dir:
-            tmp = self._path(index) + ".tmp.npy"  # np.save enforces the suffix
+            # pid-unique temp: with a SHARED cache_dir across hosts, two
+            # writers of the same index must not interleave into one file
+            tmp = self._path(index) + f".{os.getpid()}.tmp.npy"
             np.save(tmp, h2o)
             os.replace(tmp, self._path(index))  # atomic vs concurrent readers
         else:
@@ -124,10 +167,17 @@ class TargetH2OCache:
             self._single_fn = self._make_fn()
         return self._run(self._single_fn, self.collate([data]))[0]
 
-    def precompute(self, *, force: bool = False) -> int:
+    def precompute(
+        self, *, force: bool = False, shard_index: int = 0, num_shards: int = 1
+    ) -> int:
         """One batched pass over the base dataset; skips already-cached
-        indices. Returns the number of entries computed."""
-        todo = [i for i in range(len(self.base)) if force or not self._has(i)]
+        indices. Returns the number of entries computed. In multi-host runs
+        pass (process_index, process_count): each host precomputes its stripe
+        (misses from other stripes fall back to the lazy per-sample path)."""
+        todo = [
+            i for i in range(len(self.base))
+            if i % num_shards == shard_index and (force or not self._has(i))
+        ]
         if not todo:
             return 0
         if self._batched_fn is None:

@@ -27,6 +27,7 @@ import pickle
 
 import numpy as np
 
+from ..utils.mesh_io import sample_surface
 from .inside_mesh import check_mesh_contains
 
 
@@ -63,19 +64,20 @@ class SDFReconData:
     value: np.ndarray
 
 
-def _surface_samples(verts: np.ndarray, faces: np.ndarray, n: int = 20000) -> np.ndarray:
-    """Deterministic area-weighted surface samples for distance queries."""
-    v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
-    area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
-    p = area / max(area.sum(), 1e-12)
-    rng = np.random.default_rng(0)
-    fi = rng.choice(len(faces), size=n, p=p)
-    r1, r2 = rng.random(n), rng.random(n)
-    s = np.sqrt(r1)
-    w0, w1, w2 = 1.0 - s, s * (1.0 - r2), s * r2
-    return (w0[:, None] * verts[faces[fi, 0]]
-            + w1[:, None] * verts[faces[fi, 1]]
-            + w2[:, None] * verts[faces[fi, 2]])
+def _min_dists(query: np.ndarray, surf: np.ndarray) -> np.ndarray:
+    """Min Euclidean distance from each query point to the surface samples.
+    Blocked |q|^2 + |s|^2 - 2 q.s^T in float32 — the naive broadcast
+    difference materializes a [Nq, Ns, 3] float64 temporary (~31 GB at the
+    documented defaults: 100^3 grid x 20k samples)."""
+    q = np.asarray(query, np.float32)
+    s = np.asarray(surf, np.float32)
+    s2 = np.sum(s * s, axis=1)[None, :]
+    out = np.empty(len(q), np.float64)
+    for lo in range(0, len(q), 4096):
+        qc = q[lo : lo + 4096]
+        d2 = np.sum(qc * qc, axis=1)[:, None] + s2 - 2.0 * (qc @ s.T)
+        out[lo : lo + len(qc)] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+    return out
 
 
 def process_sdf(
@@ -107,13 +109,8 @@ def process_sdf(
     query = np.vstack((x.ravel(), y.ravel(), z.ravel())).T  # centered frame
 
     inside = check_mesh_contains(v_c, faces, query)
-    surf = _surface_samples(v_c, faces, n_surface_samples)
-    # chunked min-distance (host numpy; grid is resolution^3 points)
-    d = np.empty(len(query), np.float64)
-    for s0 in range(0, len(query), 65536):
-        q = query[s0 : s0 + 65536]
-        dd = np.linalg.norm(q[:, None, :] - surf[None, :, :], axis=-1).min(axis=1)
-        d[s0 : s0 + len(q)] = dd
+    surf = sample_surface(v_c, faces, n_surface_samples, seed=0)
+    d = _min_dists(query, surf)
     sdf = np.where(inside, d, -d)  # positive inside
 
     return SDFData(

@@ -186,6 +186,39 @@ def build_loader(reg: ConfigRegistry, dataset, split: str, *, shuffle=None, drop
     )
 
 
+def resolve_shard(sample_cfg) -> tuple[int, int]:
+    """(shard_index, num_shards) for the samplers: sample.num_shards /
+    sample.shard_index override the jax process topology; out-of-range
+    indices fail loudly (a clamped slice would silently drop segments)."""
+    W = int(sample_cfg.get("num_shards", 0) or 0) or jax.process_count()
+    w = sample_cfg.get("shard_index", None)
+    w = jax.process_index() if w is None or int(w) < 0 else int(w)
+    if not 0 <= w < W:
+        raise ValueError(f"sample.shard_index {w} out of range for num_shards {W}")
+    return w, W
+
+
+def segment_infos(dataset) -> list[tuple]:
+    """Per-index segment info tuples WITHOUT materializing samples: unwraps
+    adaptor/cache `.base` chains down to the segment store's info_list
+    (sample adaptors synthesize noise / attach .npy files per __getitem__ —
+    a full-dataset info scan through them costs one device dispatch per
+    sample). Falls back to fetching when no aligned store is found."""
+    n = len(dataset)
+    d = dataset
+    for _ in range(8):
+        info_l = getattr(d, "info_list", None)
+        # the segment store (data/segment.py) carries info_list AND len_list;
+        # adaptors' own info_list (sample provenance) lacks len_list
+        if info_l is not None and hasattr(d, "len_list") and len(info_l) == n:
+            return [tuple(i) for i in info_l]
+        nxt = getattr(d, "base", None)
+        if nxt is None or len(nxt) != n:
+            break
+        d = nxt
+    return [tuple(dataset[i]["info"]) for i in range(n)]
+
+
 def build_clip(reg: ConfigRegistry) -> FrozenClipText:
     try:
         clip_cfg = reg.select("clip")

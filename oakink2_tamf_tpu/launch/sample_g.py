@@ -100,9 +100,7 @@ def main(argv=None):
     # sample.num_shards/shard_index override the jax process topology for
     # external launchers (same contract as sample_r)
     n = len(dataset)
-    W = int(sample_cfg.get("num_shards", 0) or 0) or jax.process_count()
-    w = sample_cfg.get("shard_index", None)
-    w = jax.process_index() if w is None or int(w) < 0 else int(w)
+    w, W = common.resolve_shard(sample_cfg)
     lo, hi = (n * w) // W, (n * (w + 1)) // W
     indices = list(range(lo, hi))
 

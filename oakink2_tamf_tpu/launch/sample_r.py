@@ -165,19 +165,16 @@ def main(argv=None):
 
     # dedup by info over the WHOLE dataset (reference sample_refine.py:221-232),
     # then shard the deduped work list into contiguous per-process ranges
-    # (sample_g.py:99-104 contract). num_shards/shard_index default to the jax
-    # process topology; the explicit knobs support external launchers and tests.
+    # (sample_g contract). num_shards/shard_index default to the jax process
+    # topology; the explicit knobs support external launchers and tests.
     seen = set()
     work: list[int] = []
-    for i in range(len(dataset)):
-        info = tuple(dataset[i]["info"])
+    for i, info in enumerate(common.segment_infos(dataset)):
         if info in seen:
             continue
         seen.add(info)
         work.append(i)
-    W = int(sample_cfg.get("num_shards", 0) or 0) or jax.process_count()
-    w = sample_cfg.get("shard_index", None)
-    w = jax.process_index() if w is None or int(w) < 0 else int(w)
+    w, W = common.resolve_shard(sample_cfg)
     n = len(work)
     mine = work[(n * w) // W : (n * (w + 1)) // W]
     _logger.info("shard %d/%d: %d of %d deduped segments", w, W, len(mine), n)

@@ -119,7 +119,11 @@ def main(argv=None):
     dataset, t_cache = build_r_train_dataset(reg, mano_stack)
     loader = common.build_loader(reg, dataset, "train")
     if t_cache is not None:
-        t_cache.precompute()
+        # each host precomputes its stripe (shared-dir runs split the work;
+        # cross-stripe misses fall back to the lazy per-sample path)
+        t_cache.precompute(
+            shard_index=jax.process_index(), num_shards=jax.process_count()
+        )
     loss_yaml = train_cfg.get("loss", {})
     assets = LL.load_contact_assets(
         loss_yaml.get("vpe_path") or None, loss_yaml.get("c_weight_path") or None

@@ -317,8 +317,17 @@ BPE_FILENAME = "bpe_simple_vocab_16e6.txt.gz"
 def find_bpe_path(explicit: str | None = None, near: str | None = None) -> str | None:
     """Locate the OpenAI CLIP BPE merges file: explicit path, $TAMF_CLIP_BPE,
     next to `near` (e.g. the checkpoint), the repo asset dir, or the standard
-    openai/CLIP and our cache locations."""
-    candidates = [explicit, os.environ.get("TAMF_CLIP_BPE")]
+    openai/CLIP and our cache locations.
+
+    An EXPLICITLY configured path (argument or env var) that doesn't exist is
+    an error — silently falling through to a different merges file would
+    tokenize with weights the user didn't choose."""
+    if explicit and not os.path.isfile(explicit):
+        raise FileNotFoundError(f"clip bpe_path set but not found: {explicit}")
+    env = os.environ.get("TAMF_CLIP_BPE")
+    if env and not os.path.isfile(env):
+        raise FileNotFoundError(f"$TAMF_CLIP_BPE set but not found: {env}")
+    candidates = [explicit, env]
     if near:
         candidates.append(os.path.join(os.path.dirname(os.path.abspath(near)), BPE_FILENAME))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

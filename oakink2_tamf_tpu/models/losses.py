@@ -157,7 +157,16 @@ def interaction_segment_extra_loss(
         gt_geom = extra_loss_gt_geometry(
             mano_stack, batch, chunk=chunk, with_chamfer=need_chamfer
         )
-        gt_geom = {k: checkpoint_name(v, "geom_res") for k, v in gt_geom.items()}
+        # name ONLY the small geometry tensors as savable residuals; the
+        # chamfer-branch outputs (moved [bs,nobj,L,P,3] / o2h_g) are multi-GB
+        # at production shapes and must stay rematerializable under
+        # save_only_these_names (the train step avoids this path entirely by
+        # passing gt_geom as a checkpoint input)
+        gt_geom = {
+            k: (checkpoint_name(v, "geom_res")
+                if k in ("verts_gt", "joints_gt", "normals_gt") else v)
+            for k, v in gt_geom.items()
+        }
     verts_gt, joints_gt = gt_geom["verts_gt"], gt_geom["joints_gt"]
 
     verts_pred, joints_pred, normals_pred = (
