@@ -145,6 +145,13 @@ def point2point_signed(
     Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]) where
     yidx_near[i] is the index of the x-vertex closest to y_i.
     """
+    if backend == "pallas" and y_normals is not None:
+        # the fused kernel has no y_normals support; silently dropping them
+        # would return unsigned x2y where the XLA path signs them
+        raise ValueError(
+            "backend='pallas' does not support y_normals (no TaMF call site "
+            "passes them); use backend='auto'/'xla'"
+        )
     use_pallas = backend == "pallas" or (
         backend == "auto" and _on_tpu() and y_normals is None
     )

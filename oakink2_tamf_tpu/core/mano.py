@@ -26,6 +26,7 @@ the licensed download.
 from __future__ import annotations
 
 import io
+import logging
 import os
 import pickle
 from typing import NamedTuple
@@ -212,13 +213,30 @@ def synthetic_mano_model(side: str = "right", seed: int = 0) -> ManoModel:
     )
 
 
+_synthetic_warned = False
+
+
 def get_mano_model(mano_assets_root: str | None, side: str = "right") -> ManoModel:
-    """Load real assets when available, else the synthetic stand-in."""
+    """Load real MANO assets, or the synthetic stand-in when NO path was given.
+
+    Fail-loud contract (mirrors models/clip_text.FrozenClipText's refusal to
+    pair pretrained weights with a fallback tokenizer): an EXPLICIT
+    `--mano.mano_path` that doesn't resolve raises instead of silently
+    substituting the procedural blob hand — a typo'd path must not train G/R
+    or compute CR/SIV/FID against a fake hand (reference contract:
+    interaction_segment_extra_loss.py:22-37 hard-requires the assets).
+    With no path at all, the synthetic hand is returned with ONE loud warning.
+    """
     if mano_assets_root:
-        try:
-            return load_mano_model(mano_assets_root, side)
-        except FileNotFoundError:
-            pass
+        return load_mano_model(mano_assets_root, side)  # missing -> raises
+    global _synthetic_warned
+    if not _synthetic_warned:
+        _synthetic_warned = True
+        logging.getLogger(__name__).warning(
+            "mano.mano_path unset: using the SYNTHETIC procedural hand. "
+            "Geometric losses and CR/SIV/FID metrics are NOT meaningful; "
+            "point --mano.mano_path at the real MANO pickles for any real run."
+        )
     return synthetic_mano_model(side)
 
 

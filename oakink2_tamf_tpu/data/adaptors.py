@@ -61,6 +61,10 @@ class GeneratedPoseReprSampleAdaptor:
         self.info_list = info_list
         self.repr_map = repr_map
 
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
     def __len__(self):
         return len(self.info_list)
 
@@ -90,6 +94,8 @@ class GaussianPerturbSampleAdaptor:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
+        if hasattr(self.base, "set_epoch"):  # same forwarding as the siblings
+            self.base.set_epoch(epoch)
 
     def __len__(self):
         return len(self.base)
@@ -112,6 +118,10 @@ class GaussianPerturbSampleAdaptor:
 class IdentitySampleAdaptor:
     def __init__(self, base):
         self.base = base
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
 
     def __len__(self):
         return len(self.base)

@@ -60,11 +60,25 @@ class TargetH2OCache:
         """Cheap identity of (dataset, collate shapes, geometry config): a
         reused cache_dir must refuse to serve targets computed under a
         different dataset or padding — that would silently train R against
-        wrong GT distances."""
+        wrong GT distances.
+
+        target_h2o is a function of BOTH the hand (pose/shape/MANO) and the
+        object geometry, so the hash covers obj_pointcloud/obj_traj/obj_num
+        too: re-sampled object assets or changed trajectories with identical
+        GT poses must invalidate the cache. Two probe indices (0 and len-1)
+        catch same-length dataset permutations."""
         h = hashlib.md5()
-        probe = self.base[0]
-        h.update(np.ascontiguousarray(probe["pose_repr"], np.float32).tobytes())
-        h.update(np.ascontiguousarray(probe["shape"], np.float32).tobytes())
+        for idx in {0, len(self.base) - 1}:
+            probe = self.base[idx]
+            h.update(np.ascontiguousarray(probe["pose_repr"], np.float32).tobytes())
+            h.update(np.ascontiguousarray(probe["shape"], np.float32).tobytes())
+            h.update(np.ascontiguousarray(probe["obj_traj"], np.float32).tobytes())
+            h.update(np.int64(probe.get("obj_num", 0)).tobytes())
+            if "obj_pointcloud" in probe:
+                h.update(np.ascontiguousarray(probe["obj_pointcloud"], np.float32).tobytes())
+            elif "obj_verts" in probe:
+                for v in probe["obj_verts"]:
+                    h.update(np.ascontiguousarray(v, np.float32).tobytes())
         for leaf in (self.mano_stack.v_template, self.mano_stack.j_regressor):
             h.update(np.ascontiguousarray(leaf, np.float32)[:8].tobytes())
         key = {

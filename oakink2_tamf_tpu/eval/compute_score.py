@@ -154,7 +154,14 @@ def run_fid(reg, dataset, save_dicts, mano_stack) -> dict:
     from ..launch.train_encoder import build_encoder
     from ..runtime.ckpt import load_checkpoint
 
-    model = build_encoder(reg)
+    enc_fp = reg.select("score").get("encoder_filepath")
+    if str(enc_fp or "").endswith(".pt"):
+        # ported reference checkpoint: force the exact erf gelu it trained under
+        from ..interop.torch_port import port_activation
+
+        model = build_encoder(reg, activation=port_activation(reg))
+    else:
+        model = build_encoder(reg)
     collate = SegmentCollate(
         max_nobj=int(reg.select("data").get("max_nobj", 4)),
         n_obj_points=int(reg.select("data").get("n_obj_points", 2048)),
@@ -164,7 +171,6 @@ def run_fid(reg, dataset, save_dicts, mano_stack) -> dict:
     dprobe = common.device_batch(probe)
     cond = {k: dprobe[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
     params = model.init(jax.random.PRNGKey(0), dprobe["pose_repr"], cond)
-    enc_fp = reg.select("score").get("encoder_filepath")
     if enc_fp:
         if enc_fp.endswith(".pt"):
             # the reference's trained FID encoder (README.md:206-211,

@@ -156,7 +156,16 @@ def reconstruct_sdf(
     level: float = 0.0,
 ) -> SDFReconData:
     """Zero-isosurface of an SDF grid via marching tetrahedra (ref :110-130
-    used skimage marching cubes — same surface, tetrahedral triangulation)."""
+    used skimage marching cubes — same surface, tetrahedral triangulation).
+
+    Grid-spacing deviation (deliberate): vertices land on the SAME linspace
+    grid process_sdf sampled the SDF on — spacing extent/(resolution-1),
+    centered. The reference's reconstruct feeds skimage spacing
+    extent/resolution with a -extent/2 offset (sdf_util.py:110-130), which
+    does NOT match its own sample positions — a ~1% scale error at res=100.
+    We are self-consistent with our sampling; byte-level parity with
+    reference-PRODUCED reconstructions would need its extent/resolution
+    spacing reproduced (and would inherit the scale error)."""
     grid = np.asarray(sdf, np.float64).reshape(resolution, resolution, resolution) - level
     tick = np.linspace(
         -np.asarray(obj_mesh_extent_expanded) / 2.0,

@@ -31,6 +31,30 @@ import numpy as np
 
 _logger = logging.getLogger(__name__)
 
+# torch nn.TransformerEncoderLayer's default activation is F.gelu — the EXACT
+# erf form. Our launchers default to the tanh approximation (43% cheaper on
+# the v5e reverse chain, trunk.py:98-106), which drifts ~1e-3 per activation:
+# fine for training from scratch, NOT fine for a ported checkpoint whose
+# FID/CR parity is being claimed. Every `.pt` port path must run the net at
+# this activation (tests/test_torch_port.py asserts the parity only holds
+# under it).
+PORT_ACTIVATION = "gelu_exact"
+
+
+def port_activation(reg) -> str:
+    """Activation to build a net with when its params come from a ported torch
+    checkpoint: always PORT_ACTIVATION, with a loud warning if the run config
+    asked for something else."""
+    cfg = str(reg.select("model").get("activation", "gelu"))
+    if cfg != PORT_ACTIVATION:
+        _logger.warning(
+            "ported torch checkpoint: forcing activation=%s (config had %r) — "
+            "the reference's F.gelu is the exact erf form; running ported "
+            "weights under the tanh approximation corrupts parity",
+            PORT_ACTIVATION, cfg,
+        )
+    return PORT_ACTIVATION
+
 
 def _lin(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}

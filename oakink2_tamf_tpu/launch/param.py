@@ -69,6 +69,9 @@ def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
                  choices=["uniform", "loss-second-moment"])
     reg.register("chunk", prefix="train", category=int, default=2048,
                  desc="chamfer streaming tile (points per VMEM-resident block)")
+    reg.register("eval_max_batches", prefix="train", category=int, default=0,
+                 desc="val/test batches per eval pass; 0 = the FULL split "
+                      "(reference parity, launch/train.py:577-656)")
 
 
 def reg_diffusion_param(reg: ConfigRegistry) -> None:

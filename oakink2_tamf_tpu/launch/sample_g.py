@@ -50,7 +50,15 @@ def main(argv=None):
     dataset = common.build_dataset(reg, split)
     clip = common.build_clip(reg)
 
-    model = build_model(reg)
+    # a `.pt` model_filepath is a ported REFERENCE checkpoint: the net must run
+    # the exact erf gelu the torch weights were trained under
+    _port_pt = str(sample_cfg.get("model_filepath") or "").endswith(".pt")
+    if _port_pt:
+        from ..interop.torch_port import port_activation
+
+        model = build_model(reg, activation=port_activation(reg))
+    else:
+        model = build_model(reg)
     dcfg = reg.select("diffusion")
     sched = D.tamf_schedule(
         int(dcfg.get("steps", 1000)), str(dcfg.get("noise_schedule", "cosine")),

@@ -65,7 +65,14 @@ def main(argv=None):
         dataset = GaussianPerturbSampleAdaptor(base, (0.02, 0.1), seed=0)
         _logger.warning("no G-sample dirs given; refining Gaussian-perturbed GT")
 
-    net = build_refine_net(reg)
+    # a `.pt` model_filepath is a ported REFERENCE checkpoint: the net must run
+    # the exact erf gelu the torch weights were trained under
+    if str(sample_cfg.get("model_filepath") or "").endswith(".pt"):
+        from ..interop.torch_port import port_activation
+
+        net = build_refine_net(reg, activation=port_activation(reg))
+    else:
+        net = build_refine_net(reg)
     mano_path = reg.select("mano").get("mano_path") or None
     mano_rh = M.get_mano_model(mano_path, "right")
     mano_lh = M.get_mano_model(mano_path, "left")

@@ -10,8 +10,10 @@ from __future__ import annotations
 import logging
 import time
 
+import numpy as np
 import jax
 
+from ..models import losses as LL
 from ..data.adaptors import (
     ActionRecognitionAdapter,
     ConcatDataset,
@@ -31,7 +33,9 @@ _logger = logging.getLogger(__name__)
 PROG = "train_encoder"
 
 
-def build_encoder(reg) -> SegmentEncoder:
+def build_encoder(reg, activation: str | None = None) -> SegmentEncoder:
+    """`activation` overrides model.activation (forced to "gelu_exact" on the
+    `.pt` checkpoint-port paths — see interop.torch_port.port_activation)."""
     m = reg.select("model")
     return SegmentEncoder(
         EncoderConfig(
@@ -45,6 +49,7 @@ def build_encoder(reg) -> SegmentEncoder:
             num_layers=int(m.get("num_layers", 2)),
             num_heads=int(m.get("num_heads", 4)),
             dropout=float(m.get("dropout", 0.1)),
+            activation=activation or str(m.get("activation", "gelu")),
         )
     )
 
@@ -102,6 +107,7 @@ def main(argv=None):
     num_epoch = int(train_cfg.get("num_epoch", 400))
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(0)
+    eval_fn = None  # built lazily on the first val pass (one compile)
     global_step = 0
     for epoch_id in range(num_epoch):
         loader.set_epoch(epoch_id)
@@ -124,6 +130,45 @@ def main(argv=None):
             epoch_id % record_freq == 0 or epoch_id == num_epoch - 1
         ):
             save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
+
+        # val/test CE+acc on the GT (identity) view — reference
+        # train_encoder.py:580-640 evaluates the FULL held-out split;
+        # train.eval_max_batches (0 = full) caps it for smoke configs
+        val_freq = int(train_cfg.get("val_freq", 0) or 0)
+        if val_freq and is_coordinator() and (
+            epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
+        ):
+            if eval_fn is None:
+                eval_fn = jax.jit(
+                    lambda p, x, c, lab: LL.segment_encoder_loss(
+                        model.apply(p, x, c, deterministic=True), lab
+                    )[1]
+                )
+            emax = int(train_cfg.get("eval_max_batches", 0) or 0)
+            for split in ("val", "test"):
+                try:
+                    eval_base = common.build_dataset(reg, split)
+                except (ValueError, KeyError):
+                    continue
+                eval_ds = ActionRecognitionAdapter(IdentitySampleAdaptor(eval_base))
+                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+                accum: dict[str, list] = {}
+                for bi, b in enumerate(eval_loader):
+                    if emax and bi >= emax:
+                        break
+                    db = shard_batch(common.device_batch(b), mesh)
+                    c = {k: db[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+                    m = eval_fn(state.params, db["pose_repr"], c, db["action_label_id"])
+                    for mk, mv in m.items():
+                        accum.setdefault(mk, []).append(float(jax.device_get(mv)))
+                if accum:
+                    means = {mk: float(np.mean(mv)) for mk, mv in accum.items()}
+                    _logger.info(
+                        "%s epoch %04d | ce %.4f acc %.3f", split, epoch_id,
+                        means.get("ce", float("nan")), means.get("acc", float("nan")),
+                    )
+                    for mk, mv in means.items():
+                        writer.add_scalar(f"{split}/{mk}", mv, global_step)
 
     writer.close()
     return state

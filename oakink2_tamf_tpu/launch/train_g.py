@@ -31,7 +31,11 @@ _logger = logging.getLogger(__name__)
 PROG = "train_g"
 
 
-def build_model(reg) -> InteractionSegmentMDM:
+def build_model(reg, activation: str | None = None) -> InteractionSegmentMDM:
+    """`activation` overrides model.activation — the `.pt` checkpoint-port
+    paths force "gelu_exact" (torch's default erf gelu): a ported checkpoint
+    run under the tanh approximation drifts ~1e-3 per activation, silently
+    corrupting FID/CR parity claims (see interop.torch_port.port_activation)."""
     m = reg.select("model")
     return InteractionSegmentMDM(
         MDMConfig(
@@ -44,7 +48,7 @@ def build_model(reg) -> InteractionSegmentMDM:
             num_layers=int(m.get("num_layers", 8)),
             num_heads=int(m.get("num_heads", 4)),
             dropout=float(m.get("dropout", 0.1)),
-            activation=str(m.get("activation", "gelu")),
+            activation=activation or str(m.get("activation", "gelu")),
             cond_mask_prob=float(m.get("cond_mask_prob", 0.0)),
             remat=bool(m.get("remat", False)),
             compute_dtype=str(m.get("compute_dtype", "float32")),
@@ -52,20 +56,21 @@ def build_model(reg) -> InteractionSegmentMDM:
     )
 
 
-def evaluate_g(sampler, extra_fn, params, loader, clip, mesh, key, max_batches: int = 2):
+def evaluate_g(sampler, extra_fn, params, loader, clip, mesh, key, max_batches: int = 0):
     """val/test pass (reference launch/train.py:577-656): sample the model on
     held-out segments, then run the geometric extra loss ON THE SAMPLES and
     report the term breakdown (rec_joint/rec_vert/edge_len/dist_h/dist_o) plus
     the masked MSE vs GT. Batched scan sampling replaces the reference's
     per-batch 1000-step loop. `sampler`/`extra_fn` are pre-built jitted
-    callables (one compile each)."""
+    callables (one compile each). max_batches=0 evaluates the FULL split
+    (reference parity); smoke configs cap it via train.eval_max_batches."""
     from ..parallel.mesh import replicate as _rep, shard_batch as _shard
 
     params_r = _rep(params, mesh)
     acc: dict[str, list] = {}
     n = 0
     for batch in loader:
-        if n >= max_batches:
+        if max_batches and n >= max_batches:
             break
         batch = common.attach_text_emb(batch, clip)
         db = common.device_batch(batch)
@@ -285,7 +290,8 @@ def main(argv=None):
             for split, eval_loader in eval_loaders.items():
                 key, k_eval = jax.random.split(key)
                 terms = evaluate_g(
-                    eval_sampler, eval_extra_fn, state.params, eval_loader, clip, mesh, k_eval
+                    eval_sampler, eval_extra_fn, state.params, eval_loader, clip, mesh, k_eval,
+                    max_batches=int(train_cfg.get("eval_max_batches", 0) or 0),
                 )
                 _logger.info(
                     "%s epoch %04d sample eval | %s", split, epoch_id,

@@ -30,7 +30,9 @@ _logger = logging.getLogger(__name__)
 PROG = "train_r"
 
 
-def build_refine_net(reg) -> SegmentRefineNet:
+def build_refine_net(reg, activation: str | None = None) -> SegmentRefineNet:
+    """`activation` overrides model.activation (forced to "gelu_exact" on the
+    `.pt` checkpoint-port paths — see interop.torch_port.port_activation)."""
     m = reg.select("model")
     return SegmentRefineNet(
         RefineConfig(
@@ -43,7 +45,7 @@ def build_refine_net(reg) -> SegmentRefineNet:
             num_layers=int(m.get("num_layers", 8)),
             num_heads=int(m.get("num_heads", 4)),
             dropout=float(m.get("dropout", 0.1)),
-            activation=str(m.get("activation", "gelu")),
+            activation=activation or str(m.get("activation", "gelu")),
             remat=bool(m.get("remat", False)),
             compute_dtype=str(m.get("compute_dtype", "float32")),
         )
@@ -119,11 +121,26 @@ def main(argv=None):
     dataset, t_cache = build_r_train_dataset(reg, mano_stack)
     loader = common.build_loader(reg, dataset, "train")
     if t_cache is not None:
-        # each host precomputes its stripe (shared-dir runs split the work;
-        # cross-stripe misses fall back to the lazy per-sample path)
-        t_cache.precompute(
-            shard_index=jax.process_index(), num_shards=jax.process_count()
-        )
+        # shared-dir runs split the precompute work across hosts (cross-stripe
+        # misses fall back to the lazy per-sample path). In-MEMORY mode each
+        # host's dict is private, and the shuffled loader stride needs samples
+        # from ALL stripes — a striped precompute would leave ~(W-1)/W of the
+        # epoch recomputing per-sample inside loader threads, negating the
+        # cache. So without a cache_dir every host precomputes the full range.
+        if t_cache.cache_dir:
+            t_cache.precompute(
+                shard_index=jax.process_index(), num_shards=jax.process_count()
+            )
+        else:
+            if jax.process_count() > 1:
+                _logger.warning(
+                    "target_h2o cache is in-memory on %d hosts: each host "
+                    "precomputes ALL %d segments. Point "
+                    "train.data.target_h2o_cache_dir at a shared dir to split "
+                    "the work.",
+                    jax.process_count(), len(dataset),
+                )
+            t_cache.precompute()
     loss_yaml = train_cfg.get("loss", {})
     assets = LL.load_contact_assets(
         loss_yaml.get("vpe_path") or None, loss_yaml.get("c_weight_path") or None
@@ -215,8 +232,9 @@ def main(argv=None):
                 )
                 eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
                 losses = []
+                emax = int(train_cfg.get("eval_max_batches", 0) or 0)
                 for bi, b in enumerate(eval_loader):
-                    if bi >= 2:
+                    if emax and bi >= emax:
                         break
                     loss, _ = eval_fn(state.params, shard_batch(common.device_batch(b), mesh))
                     losses.append(float(jax.device_get(loss)))

@@ -20,6 +20,7 @@ present; otherwise deterministic synthetic stand-ins with the same shapes.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Any, NamedTuple
 
@@ -39,15 +40,42 @@ class ContactAssets(NamedTuple):
     v_weights2: jax.Array  # v_weights ** (1/2.5)
 
 
+_synthetic_assets_warned = False
+
+
 def load_contact_assets(
     vpe_path: str | None = None, c_weight_path: str | None = None, mano_faces: np.ndarray | None = None
 ) -> ContactAssets:
     """Load GrabNet vpe/rhand_weight npys, else synthesize: edges from the MANO
-    triangulation and smooth pseudo contact weights (deterministic)."""
-    if vpe_path and os.path.isfile(vpe_path) and c_weight_path and os.path.isfile(c_weight_path):
+    triangulation and smooth pseudo contact weights (deterministic).
+
+    Fail-loud contract (same as core/mano.get_mano_model): EXPLICIT paths that
+    don't resolve raise — the reference hard-requires these assets
+    (extra_loss.py:39-42, README.md:118-126) and training against random
+    contact weights would silently corrupt rec_vert/dist losses. With no paths
+    given, the synthetic stand-ins are used with ONE loud warning.
+    """
+    if vpe_path or c_weight_path:
+        for p, name in ((vpe_path, "vpe_path"), (c_weight_path, "c_weight_path")):
+            if not (p and os.path.isfile(p)):
+                raise FileNotFoundError(
+                    f"contact asset {name}={p!r} was given explicitly but does not "
+                    "exist; refusing to substitute synthetic contact weights. "
+                    "Fetch the grabnet verts_per_edge.npy/rhand_weight.npy "
+                    "(reference README.md:118-126) or drop the config keys."
+                )
         vpe = np.load(vpe_path).astype(np.int32)
         w = np.load(c_weight_path).astype(np.float32)
     else:
+        global _synthetic_assets_warned
+        if not _synthetic_assets_warned:
+            _synthetic_assets_warned = True
+            logging.getLogger(__name__).warning(
+                "grabnet contact assets (vpe_path/c_weight_path) unset: using "
+                "synthetic edges/weights. rec_vert/edge_len/dist losses are NOT "
+                "reference-faithful; set train.loss.vpe_path/c_weight_path for "
+                "any real run."
+            )
         if mano_faces is None:
             mano_faces = np.asarray(M.synthetic_mano_model("right").faces)
         e = np.concatenate(

@@ -144,3 +144,25 @@ def test_jit_and_grad():
     g = jax.jit(jax.grad(loss))(pr)
     assert g.shape == (2, 99)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_explicit_missing_mano_path_raises(tmp_path):
+    """An explicitly-given but unresolvable mano_path must NOT silently fall
+    back to the synthetic hand (fail-loud contract, round-3 hardening)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        M.get_mano_model(str(tmp_path / "nope"), "right")
+
+
+def test_unset_mano_path_warns_once_and_returns_synthetic(caplog):
+    import logging
+
+    M._synthetic_warned = False
+    with caplog.at_level(logging.WARNING, logger="oakink2_tamf_tpu.core.mano"):
+        m1 = M.get_mano_model(None, "right")
+        m2 = M.get_mano_model(None, "left")
+    assert m1.v_template.shape == (M.N_VERTS, 3)
+    assert m2.v_template.shape == (M.N_VERTS, 3)
+    warns = [r for r in caplog.records if "SYNTHETIC" in r.message]
+    assert len(warns) == 1  # one loud warning, not per-call spam

@@ -184,3 +184,32 @@ def test_extra_loss(rng):
         lambda mo: LL.interaction_segment_extra_loss(mano_stack, assets, cfg, mo, batch, chunk=64)[0]
     )(model_output)
     assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_explicit_missing_contact_assets_raise(tmp_path):
+    """Explicit vpe/c_weight paths that don't exist must raise, not silently
+    substitute random contact weights (fail-loud contract, round-3 hardening)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        LL.load_contact_assets(str(tmp_path / "vpe.npy"), str(tmp_path / "w.npy"))
+    # one explicit + one missing is equally fatal
+    import numpy as _np
+
+    vpe = tmp_path / "vpe_ok.npy"
+    _np.save(vpe, _np.zeros((4, 2), _np.int32))
+    with pytest.raises(FileNotFoundError):
+        LL.load_contact_assets(str(vpe), None)
+
+
+def test_unset_contact_assets_warn_once(caplog):
+    import logging
+
+    LL._synthetic_assets_warned = False
+    with caplog.at_level(logging.WARNING, logger="oakink2_tamf_tpu.models.losses"):
+        a1 = LL.load_contact_assets()
+        a2 = LL.load_contact_assets()
+    assert a1.v_weights.shape == (778,)
+    assert a2.vpe.shape[1] == 2
+    warns = [r for r in caplog.records if "synthetic edges/weights" in r.message]
+    assert len(warns) == 1

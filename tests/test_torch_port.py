@@ -245,3 +245,30 @@ def test_encoder_checkpoint_port_shapes():
     assert out["encoding"].shape == (2, d)
     assert out["activation"].shape == (2, 70)
     assert np.all(np.isfinite(np.asarray(out["activation"])))
+
+
+def test_port_activation_forces_gelu_exact(caplog):
+    """Every .pt port path must run the net under torch's exact erf gelu —
+    running ported weights under the tanh approximation corrupts parity."""
+    import logging
+
+    from oakink2_tamf_tpu.interop import torch_port as TP
+
+    class FakeReg:
+        def select(self, key):
+            assert key == "model"
+            return {"activation": "gelu"}
+
+    with caplog.at_level(logging.WARNING, logger="oakink2_tamf_tpu.interop.torch_port"):
+        act = TP.port_activation(FakeReg())
+    assert act == "gelu_exact"
+    assert any("forcing activation" in r.message for r in caplog.records)
+
+    class FakeRegExact:
+        def select(self, key):
+            return {"activation": "gelu_exact"}
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="oakink2_tamf_tpu.interop.torch_port"):
+        assert TP.port_activation(FakeRegExact()) == "gelu_exact"
+    assert not any("forcing activation" in r.message for r in caplog.records)
