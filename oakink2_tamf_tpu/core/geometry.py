@@ -168,16 +168,38 @@ def point2point_signed(
 
 def point2point_h2o(
     x: jax.Array,
-    y: jax.Array,
+    y: jax.Array | None = None,
     y_valid: jax.Array | None = None,
     chunk: int = 2048,
     backend: str = "auto",
+    *,
+    yT: jax.Array | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only.
 
     R's refine path (segment_refine_model.py:142-168) consumes only this
     direction; the o2h/sign work of point2point_signed — a measured ~40% of
-    the fused kernel — is skipped entirely on the TPU path."""
+    the fused kernel — is skipped entirely on the TPU path.
+
+    Backends: "auto" = cluster-pruned Pallas kernel on TPU for big clouds,
+    exact all-pairs Pallas for small ones, XLA elsewhere; "pallas" forces the
+    exact all-pairs kernel; "cluster" forces the pruned kernel (exact results,
+    ops/chamfer_cluster.py); "xla" the streaming scan. `yT` [N, 3, P2] is the
+    coordinate-major cloud — prefer it on the cluster path ([.., 3]-minor
+    arrays are tile-padded 42x on TPU; see chamfer_cluster's layout note)."""
+    p2 = y.shape[1] if y is not None else yT.shape[2]
+    use_cluster = backend == "cluster" or (
+        backend == "auto" and _on_tpu() and p2 >= 4096
+    )
+    if use_cluster:
+        from ..ops.chamfer_cluster import point2point_h2o_cluster
+
+        return point2point_h2o_cluster(
+            x, y, y_valid=y_valid, yT=yT, interpret=interpret
+        )
+    if y is None:
+        y = jnp.swapaxes(yT, 1, 2)
     if backend == "pallas" or (backend == "auto" and _on_tpu()):
         from ..ops.chamfer_pallas import point2point_h2o_pallas
 

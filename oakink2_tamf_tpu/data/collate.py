@@ -56,16 +56,25 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
 
 
 def _pad_points(point_list: Sequence[np.ndarray], n_points: int) -> np.ndarray:
-    """Ragged per-object point arrays -> [nobj, n_points, 3] (subsample or pad)."""
+    """Ragged per-object point arrays -> [nobj, n_points, 3] (subsample or pad).
+
+    Each cloud is spatially sorted (utils/pc_util.spatial_sort_indices) so
+    contiguous 128-point blocks are compact: the cluster-pruned chamfer
+    kernels (ops/chamfer_cluster.py) cell on contiguous blocks, and rigid
+    per-frame transforms preserve block membership — one sort here serves
+    every frame of the segment. Pure reordering; NN distances are unchanged."""
+    from ..utils.pc_util import spatial_sort_indices
+
     out = []
     for p in point_list:
         p = np.asarray(p, dtype=np.float32)
         if p.shape[0] >= n_points:
             idx = np.linspace(0, p.shape[0] - 1, n_points).astype(np.int64)
-            out.append(p[idx])
+            p = p[idx]
         else:
             reps = int(np.ceil(n_points / max(p.shape[0], 1)))
-            out.append(np.tile(p, (reps, 1))[:n_points])
+            p = np.tile(p, (reps, 1))[:n_points]
+        out.append(p[spatial_sort_indices(p)])
     return np.stack(out, axis=0)
 
 

@@ -166,20 +166,29 @@ def multi_object_h2o_dist(
     nobj, P = obj_points.shape[1], obj_points.shape[2]
 
     transf = T.tslrot6d_to_transf(obj_traj)  # [bs, nobj, L, 4, 4]
-    # move canonical points (broadcast over L): [bs, nobj, L, P, 3]
-    moved = T.transf_point_array(transf, obj_points[:, :, None])
-    # -> [bs, L, nobj*P, 3]
-    moved = jnp.swapaxes(moved, 1, 2).reshape(bs, L, nobj * P, 3)
+    # move canonical points COORDINATE-MAJOR: the [bs,L,nobj*P,3] layout is
+    # tile-padded 3 -> 128 on TPU (42x HBM blowup, chamfer_pallas.py:22-28);
+    # emitting [.., 3, P] straight out of the rigid-transform einsum means the
+    # point-minor monster never exists (measured: prep/stat passes over it
+    # cost more than the pruned chamfer kernel itself).
+    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3]
+    t = transf[..., :3, 3]  # [bs, nobj, L, 3]
+    ptsT = jnp.swapaxes(obj_points, -1, -2)  # [bs, nobj, 3, P] (small)
+    movedT = (
+        jnp.einsum("bolck,bokp->bolcp", R, ptsT, precision=jax.lax.Precision.HIGHEST)
+        + t[..., None]
+    )  # [bs, nobj, L, 3, P]
+    movedT = jnp.moveaxis(movedT, 1, 3).reshape(bs, L, 3, nobj * P)
     valid = jnp.repeat(obj_mask, P, axis=1)  # [bs, nobj*P]
     valid = jnp.broadcast_to(valid[:, None, :], (bs, L, nobj * P))
 
     flat_h = hand_verts.reshape(bs * L, nhv, 3)
-    flat_o = moved.reshape(bs * L, nobj * P, 3)
+    flat_oT = movedT.reshape(bs * L, 3, nobj * P)
     flat_v = valid.reshape(bs * L, nobj * P)
     # h2o is UNSIGNED (the reference signs only the o2h direction, which this
     # path never reads) — the hand normals do not enter; the h2o-only kernel
-    # variant skips the o2h/sign work (~40% of the fused kernel on TPU)
-    h2o = G.point2point_h2o(flat_h, flat_o, y_valid=flat_v, chunk=chunk)
+    # variants skip the o2h/sign work entirely on TPU
+    h2o = G.point2point_h2o(flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk)
     return h2o.reshape(bs, L, nhv)
 
 

@@ -1,0 +1,146 @@
+"""A/B parity of the cluster-pruned chamfer kernels (ops/chamfer_cluster.py)
+against the exact XLA oracle (core/geometry._point2point_signed_xla path).
+
+The pruning is EXACT by construction (cell-bound argument in the module
+docstring); these tests verify the implementation of that argument — forward
+distances, both gradients, both y layouts, validity masks, padding edges —
+under interpret mode on the CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oakink2_tamf_tpu.core import geometry as G
+from oakink2_tamf_tpu.ops import chamfer_cluster as CC
+from oakink2_tamf_tpu.utils.pc_util import spatial_sort_indices
+
+
+def scene(F=2, P1=200, P2=700, seed=0, spread=0.2):
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=(F, P1, 3)) * 0.1).astype(np.float32)
+    y = (rng.normal(size=(F, P2, 3)) * spread + rng.normal(size=(F, 1, 3)) * 0.1).astype(np.float32)
+    yv = rng.random((F, P2)) > 0.15
+    return x, y, yv
+
+
+def _oracle(x, y, yv):
+    return np.asarray(
+        G.point2point_h2o(jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv), backend="xla")
+    )
+
+
+def test_forward_matches_oracle():
+    x, y, yv = scene()
+    ref = _oracle(x, y, yv)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_forward_yT_layout_matches():
+    x, y, yv = scene(seed=3)
+    ref = _oracle(x, y, yv)
+    yT = jnp.swapaxes(jnp.asarray(y), 1, 2)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), yT=yT, y_valid=jnp.asarray(yv), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_forward_unaligned_sizes():
+    # P1 % 128 != 0 and P2 % 128 != 0 exercise both pad paths
+    x, y, yv = scene(F=3, P1=131, P2=300, seed=5)
+    ref = _oracle(x, y, yv)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_forward_spatially_sorted_cells():
+    """Spatially sorted y (the collate path) must give identical results —
+    sorting only tightens the cells."""
+    x, y, yv = scene(F=2, P1=150, P2=1024, seed=7)
+    yv = np.ones_like(yv)  # keep the permutation simple
+    perm = spatial_sort_indices(y[0])
+    ys = y[:, perm]
+    ref = _oracle(x, ys, yv)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(ys), jnp.asarray(yv), interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_all_invalid_frame_is_big():
+    x, y, yv = scene(F=2, P1=130, P2=256, seed=9)
+    yv[1] = False  # whole frame invalid
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), interpret=True)
+    )
+    ref = _oracle(x, y, np.maximum(yv, [[False]]))  # oracle on same masks
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-5)
+    assert np.all(got[1] > 1e6)  # no valid target: distances blow up, not NaN
+    assert np.all(np.isfinite(got[0]))
+
+
+def test_gradients_match_oracle():
+    x, y, yv = scene(F=2, P1=140, P2=500, seed=11)
+    xj, yj, yvj = jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv)
+    yT = jnp.swapaxes(yj, 1, 2)
+
+    def loss_new(x_, yT_):
+        return jnp.sum(CC.point2point_h2o_cluster(x_, yT=yT_, y_valid=yvj, interpret=True) ** 2)
+
+    def loss_ref(x_, y_):
+        return jnp.sum(G.point2point_h2o(x_, y_, y_valid=yvj, backend="xla") ** 2)
+
+    gx_n, gyT_n = jax.grad(loss_new, argnums=(0, 1))(xj, yT)
+    gx_r, gy_r = jax.grad(loss_ref, argnums=(0, 1))(xj, yj)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gyT_n, 1, 2)), np.asarray(gy_r), atol=1e-5
+    )
+
+
+def test_candidate_lists_cover_owners():
+    """Structural invariant: every vert's true NN cell appears in its tile's
+    candidate list (the exactness precondition), and counts shrink when y is
+    spatially sorted (the perf precondition)."""
+    x, y, _ = scene(F=2, P1=256, P2=2048, seed=13, spread=0.1)
+    yv = np.ones((2, 2048), bool)
+    ref_full = G.point2point_h2o(jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv), backend="xla")
+
+    def counts_for(yy):
+        xTs, perm, xvalid = CC._x_perm_pad(jnp.asarray(x))
+        yT, yvv = CC._as_yT(jnp.asarray(yy), None, jnp.asarray(yv))
+        _, _, xTc, _, centers, radius, reps, nonempty, _ = CC._prep_cluster_operands(
+            xTs, yT, yvv
+        )
+        _, cc = CC._h2o_candidates(xTc, xvalid, centers, radius, reps, nonempty)
+        return np.asarray(cc)[..., 0]
+
+    c_unsorted = counts_for(y)
+    ys = np.stack([y[i][spatial_sort_indices(y[i])] for i in range(2)])
+    c_sorted = counts_for(ys)
+    # exactness already covered by forward tests; here: sorting helps
+    assert c_sorted.mean() <= c_unsorted.mean() + 1e-9
+    # and the pruned result still matches on the sorted cloud
+    got = np.asarray(
+        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(ys), jnp.asarray(yv), interpret=True)
+    )
+    np.testing.assert_allclose(got, np.asarray(ref_full), atol=2e-5)
+
+
+def test_geometry_route_cluster_backend():
+    """core.geometry.point2point_h2o backend='cluster' routes here."""
+    x, y, yv = scene(F=2, P1=130, P2=300, seed=17)
+    ref = _oracle(x, y, yv)
+    got = np.asarray(
+        G.point2point_h2o(
+            jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv),
+            backend="cluster", interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
