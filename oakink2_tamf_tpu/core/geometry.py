@@ -121,12 +121,15 @@ def _clamp_tile(chunk: int, p2: int) -> int:
 
 def point2point_signed(
     x: jax.Array,
-    y: jax.Array,
+    y: jax.Array | None = None,
     x_normals: jax.Array | None = None,
     y_normals: jax.Array | None = None,
     y_valid: jax.Array | None = None,
     chunk: int = 2048,
     backend: str = "auto",
+    *,
+    yT: jax.Array | None = None,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Signed distances between two point clouds, matching the reference
     model/loss/chamfer_distance.py:point2point_signed.
@@ -145,13 +148,25 @@ def point2point_signed(
     Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]) where
     yidx_near[i] is the index of the x-vertex closest to y_i.
     """
-    if backend == "pallas" and y_normals is not None:
-        # the fused kernel has no y_normals support; silently dropping them
+    if backend in ("pallas", "cluster") and y_normals is not None:
+        # the fused kernels have no y_normals support; silently dropping them
         # would return unsigned x2y where the XLA path signs them
         raise ValueError(
-            "backend='pallas' does not support y_normals (no TaMF call site "
-            "passes them); use backend='auto'/'xla'"
+            f"backend={backend!r} does not support y_normals (no TaMF call "
+            "site passes them); use backend='auto'/'xla'"
         )
+    p2 = y.shape[1] if y is not None else yT.shape[2]
+    use_cluster = backend == "cluster" or (
+        backend == "auto" and _on_tpu() and y_normals is None and p2 >= 4096
+    )
+    if use_cluster:
+        from ..ops.chamfer_cluster import point2point_signed_cluster
+
+        return point2point_signed_cluster(
+            x, y, x_normals=x_normals, y_valid=y_valid, yT=yT, interpret=interpret
+        )
+    if y is None:
+        y = jnp.swapaxes(yT, 1, 2)
     use_pallas = backend == "pallas" or (
         backend == "auto" and _on_tpu() and y_normals is None
     )

@@ -120,16 +120,19 @@ def _edges(verts: jax.Array, vpe: jax.Array) -> jax.Array:
 def _per_object_signed(
     verts: jax.Array,  # [bs, L, 778, 3]
     normals: jax.Array,  # [bs, L, 778, 3]
-    obj_points_moved: jax.Array,  # [bs, nobj, L, P, 3] world-frame object points
+    obj_points_movedT: jax.Array,  # [bs, nobj, L, 3, P] world clouds, COORD-major
     chunk: int,
 ):
-    """Per-object signed distances: returns (o2h [bs,nobj,L,P], h2o [bs,nobj,L,778])."""
-    bs, nobj, L, P, _ = obj_points_moved.shape
+    """Per-object signed distances: returns (o2h [bs,nobj,L,P], h2o [bs,nobj,L,778]).
+
+    The object clouds ride coordinate-major ([.., 3]-minor arrays tile-pad
+    3 -> 128 on TPU — chamfer_cluster.py layout note)."""
+    bs, nobj, L, _, P = obj_points_movedT.shape
     vh = verts.shape[2]
     x = jnp.broadcast_to(verts[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
     n = jnp.broadcast_to(normals[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
-    y = obj_points_moved.reshape(-1, P, 3)
-    o2h, h2o, _ = G.point2point_signed(x, y, x_normals=n, chunk=chunk)
+    yT = obj_points_movedT.reshape(-1, 3, P)
+    o2h, h2o, _ = G.point2point_signed(x, x_normals=n, yT=yT, chunk=chunk)
     return o2h.reshape(bs, nobj, L, P), h2o.reshape(bs, nobj, L, vh)
 
 
@@ -143,7 +146,7 @@ def extra_loss_gt_geometry(
     """GT-side geometry of the G extra loss — a pure function of the batch
     (no model output), so the train step computes it OUTSIDE the grad closure
     and passes it into the checkpointed loss as an input (never recomputed in
-    the backward, no policy ambiguity). `moved` (world-frame object clouds) is
+    the backward, no policy ambiguity). `movedT` (world-frame object clouds, coordinate-major) is
     included: the pred-side chamfer consumes the same tensor."""
     verts_gt, joints_gt, normals_gt = batch_recover_mano(
         mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
@@ -151,9 +154,17 @@ def extra_loss_gt_geometry(
     out = {"verts_gt": verts_gt, "joints_gt": joints_gt, "normals_gt": normals_gt}
     if with_chamfer:
         transf = T.tslrot6d_to_transf(batch["obj_traj"])  # [bs, nobj, L, 4, 4]
-        moved = T.transf_point_array(transf, batch["obj_points"][:, :, None])
-        o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, moved, chunk)
-        out.update({"moved": moved, "o2h_g": o2h_g, "h2o_g": h2o_g})
+        # coordinate-major straight out of the rigid-transform einsum — the
+        # [.., P, 3] layout would tile-pad 3 -> 128 on TPU (42x HBM blowup)
+        R = transf[..., :3, :3]
+        t = transf[..., :3, 3]
+        ptsT = jnp.swapaxes(batch["obj_points"], -1, -2)  # [bs, nobj, 3, P]
+        movedT = (
+            jnp.einsum("bolck,bokp->bolcp", R, ptsT, precision=jax.lax.Precision.HIGHEST)
+            + t[..., None]
+        )  # [bs, nobj, L, 3, P]
+        o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, movedT, chunk)
+        out.update({"movedT": movedT, "o2h_g": o2h_g, "h2o_g": h2o_g})
     return out
 
 
@@ -186,7 +197,7 @@ def interaction_segment_extra_loss(
             mano_stack, batch, chunk=chunk, with_chamfer=need_chamfer
         )
         # name ONLY the small geometry tensors as savable residuals; the
-        # chamfer-branch outputs (moved [bs,nobj,L,P,3] / o2h_g) are multi-GB
+        # chamfer-branch outputs (movedT [bs,nobj,L,3,P] / o2h_g) are multi-GB
         # at production shapes and must stay rematerializable under
         # save_only_these_names (the train step avoids this path entirely by
         # passing gt_geom as a checkpoint input)
@@ -224,8 +235,8 @@ def interaction_segment_extra_loss(
 
     # per-object signed-distance losses
     if need_chamfer:
-        moved, o2h_g, h2o_g = gt_geom["moved"], gt_geom["o2h_g"], gt_geom["h2o_g"]
-        o2h_p, h2o_p = _per_object_signed(verts_pred, normals_pred, moved, chunk)
+        movedT, o2h_g, h2o_g = gt_geom["movedT"], gt_geom["o2h_g"], gt_geom["h2o_g"]
+        o2h_p, h2o_p = _per_object_signed(verts_pred, normals_pred, movedT, chunk)
 
         obj_mask = batch["obj_mask"].astype(mask.dtype)  # [bs, nobj]
         num_obj = jnp.maximum(jnp.sum(obj_mask, axis=1), 1.0)  # [bs]

@@ -144,3 +144,105 @@ def test_geometry_route_cluster_backend():
         )
     )
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Signed variant (G's extra loss path)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_signed(x, y, n, yv):
+    return G.point2point_signed(
+        jnp.asarray(x), jnp.asarray(y), x_normals=jnp.asarray(n),
+        y_valid=jnp.asarray(yv), backend="xla",
+    )
+
+
+def _normals(x, seed=0):
+    rng = np.random.default_rng(seed + 100)
+    n = rng.normal(size=x.shape).astype(np.float32)
+    return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def test_signed_forward_matches_oracle():
+    x, y, yv = scene(F=2, P1=200, P2=700, seed=21)
+    n = _normals(x, 21)
+    r_y2x, r_x2y, r_idx = (np.asarray(a) for a in _oracle_signed(x, y, n, yv))
+    g_y2x, g_x2y, g_idx = (
+        np.asarray(a)
+        for a in CC.point2point_signed_cluster(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(n), jnp.asarray(yv),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(g_x2y, r_x2y, atol=2e-5)
+    np.testing.assert_allclose(g_y2x, r_y2x, atol=2e-5)
+    # index parity on valid points (ties may differ; require distance match)
+    d_at_ref = np.take_along_axis(
+        np.linalg.norm(x[:, :, None] - y[:, None], axis=-1).transpose(0, 2, 1),
+        r_idx[..., None], axis=2,
+    )[..., 0]
+    d_at_got = np.take_along_axis(
+        np.linalg.norm(x[:, :, None] - y[:, None], axis=-1).transpose(0, 2, 1),
+        g_idx[..., None], axis=2,
+    )[..., 0]
+    np.testing.assert_allclose(d_at_got[yv], d_at_ref[yv], atol=2e-5)
+
+
+def test_signed_forward_yT_and_unaligned():
+    x, y, yv = scene(F=3, P1=131, P2=300, seed=23)
+    n = _normals(x, 23)
+    r_y2x, r_x2y, _ = (np.asarray(a) for a in _oracle_signed(x, y, n, yv))
+    yT = jnp.swapaxes(jnp.asarray(y), 1, 2)
+    g_y2x, g_x2y, _ = (
+        np.asarray(a)
+        for a in CC.point2point_signed_cluster(
+            jnp.asarray(x), x_normals=jnp.asarray(n), y_valid=jnp.asarray(yv),
+            yT=yT, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(g_x2y, r_x2y, atol=2e-5)
+    np.testing.assert_allclose(g_y2x, r_y2x, atol=2e-5)
+
+
+def test_signed_gradients_match_oracle():
+    x, y, yv = scene(F=2, P1=140, P2=500, seed=25)
+    n = _normals(x, 25)
+    xj, yj, nj, yvj = (jnp.asarray(a) for a in (x, y, n, yv))
+    yT = jnp.swapaxes(yj, 1, 2)
+
+    def loss_new(x_, yT_):
+        y2x, x2y, _ = CC.point2point_signed_cluster(
+            x_, x_normals=nj, y_valid=yvj, yT=yT_, interpret=True
+        )
+        return jnp.sum(y2x**2) + jnp.sum(jnp.abs(x2y))
+
+    def loss_ref(x_, y_):
+        y2x, x2y, _ = G.point2point_signed(
+            x_, y_, x_normals=nj, y_valid=yvj, backend="xla"
+        )
+        return jnp.sum(y2x**2) + jnp.sum(jnp.abs(x2y))
+
+    gx_n, gyT_n = jax.grad(loss_new, argnums=(0, 1))(xj, yT)
+    gx_r, gy_r = jax.grad(loss_ref, argnums=(0, 1))(xj, yj)
+    # |x2y| divides the cotangent by the distance: near-contact points amplify
+    # the kernels' ~1e-6 distance delta into ~5e-5 gradient noise
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gyT_n, 1, 2)), np.asarray(gy_r), atol=2e-4
+    )
+
+
+def test_signed_geometry_route():
+    x, y, yv = scene(F=2, P1=130, P2=300, seed=27)
+    n = _normals(x, 27)
+    r_y2x, r_x2y, _ = (np.asarray(a) for a in _oracle_signed(x, y, n, yv))
+    g_y2x, g_x2y, _ = (
+        np.asarray(a)
+        for a in G.point2point_signed(
+            jnp.asarray(x), jnp.asarray(y), x_normals=jnp.asarray(n),
+            y_valid=jnp.asarray(yv), backend="cluster", interpret=True,
+        )
+    )
+    np.testing.assert_allclose(g_x2y, r_x2y, atol=2e-5)
+    np.testing.assert_allclose(g_y2x, r_y2x, atol=2e-5)
