@@ -129,6 +129,9 @@ def point2point_signed(
     backend: str = "auto",
     *,
     yT: jax.Array | None = None,
+    x_perm=None,
+    k_cells: int | None = None,
+    k_tiles: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Signed distances between two point clouds, matching the reference
@@ -155,15 +158,24 @@ def point2point_signed(
             f"backend={backend!r} does not support y_normals (no TaMF call "
             "site passes them); use backend='auto'/'xla'"
         )
-    p2 = y.shape[1] if y is not None else yT.shape[2]
-    use_cluster = backend == "cluster" or (
-        backend == "auto" and _on_tpu() and y_normals is None and p2 >= 4096
-    )
+    # NOTE: "auto" never routes the SIGNED path to the cluster kernel: the o2h
+    # direction is unprunable under absolute exactness (a hand subtends a
+    # small angle from far object points, so nearly all x tiles qualify —
+    # measured k_tiles=6/7 still errs 1 cm in contact), and with all tiles
+    # searched the split kernels lose the fused all-pairs kernel's shared
+    # distance pass. backend="cluster" remains available for experiments.
+    use_cluster = backend == "cluster"
     if use_cluster:
-        from ..ops.chamfer_cluster import point2point_signed_cluster
+        from ..ops import chamfer_cluster as CC
 
-        return point2point_signed_cluster(
-            x, y, x_normals=x_normals, y_valid=y_valid, yT=yT, interpret=interpret
+        kw = {}
+        if k_cells is not None:
+            kw["k_cells"] = k_cells
+        if k_tiles is not None:
+            kw["k_tiles"] = k_tiles
+        return CC.point2point_signed_cluster(
+            x, y, x_normals=x_normals, y_valid=y_valid, yT=yT,
+            x_perm=x_perm, interpret=interpret, **kw,
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
@@ -189,6 +201,8 @@ def point2point_h2o(
     backend: str = "auto",
     *,
     yT: jax.Array | None = None,
+    x_perm=None,
+    k_cells: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only.
@@ -197,21 +211,25 @@ def point2point_h2o(
     direction; the o2h/sign work of point2point_signed — a measured ~40% of
     the fused kernel — is skipped entirely on the TPU path.
 
-    Backends: "auto" = cluster-pruned Pallas kernel on TPU for big clouds,
-    exact all-pairs Pallas for small ones, XLA elsewhere; "pallas" forces the
-    exact all-pairs kernel; "cluster" forces the pruned kernel (exact results,
-    ops/chamfer_cluster.py); "xla" the streaming scan. `yT` [N, 3, P2] is the
-    coordinate-major cloud — prefer it on the cluster path ([.., 3]-minor
-    arrays are tile-padded 42x on TPU; see chamfer_cluster's layout note)."""
+    Backends: "auto" = cluster-pruned Pallas kernel on TPU for big clouds
+    (measured 65.6 vs 114.7 ms f+b per 640x778x8192 at the default k_cells=24
+    with a static x_perm — float-exact on a realistic grasp scene), exact
+    all-pairs Pallas for small ones, XLA elsewhere; "pallas" forces the exact
+    all-pairs kernel; "cluster" forces the pruned kernel; "xla" the streaming
+    scan. Pass `x_perm` (core/mano.hand_template_perm for MANO verts) on the
+    cluster path — the Morton fallback costs a per-frame argsort. `yT`
+    [N, 3, P2] is the coordinate-major cloud — prefer it on the cluster path
+    ([.., 3]-minor arrays are tile-padded 42x on TPU)."""
     p2 = y.shape[1] if y is not None else yT.shape[2]
     use_cluster = backend == "cluster" or (
         backend == "auto" and _on_tpu() and p2 >= 4096
     )
     if use_cluster:
-        from ..ops.chamfer_cluster import point2point_h2o_cluster
+        from ..ops import chamfer_cluster as CC
 
-        return point2point_h2o_cluster(
-            x, y, y_valid=y_valid, yT=yT, interpret=interpret
+        kw = {} if k_cells is None else {"k_cells": k_cells}
+        return CC.point2point_h2o_cluster(
+            x, y, y_valid=y_valid, yT=yT, x_perm=x_perm, interpret=interpret, **kw
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)

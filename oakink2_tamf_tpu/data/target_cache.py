@@ -159,10 +159,15 @@ class TargetH2OCache:
 
         mano_stack, chunk = self.mano_stack, self.chunk
 
+        from ..core.mano import hand_template_perm
+
+        x_perm = hand_template_perm(mano_stack)
+
         def h2o_fn(pose_repr, shape, hand_side, obj_traj, obj_points, obj_mask):
             verts, _, normals = batch_recover_mano(mano_stack, pose_repr, shape, hand_side)
             return multi_object_h2o_dist(
-                verts, normals, obj_traj, obj_points, obj_mask, chunk=chunk
+                verts, normals, obj_traj, obj_points, obj_mask, chunk=chunk,
+                x_perm=x_perm,
             )
 
         return jax.jit(h2o_fn)

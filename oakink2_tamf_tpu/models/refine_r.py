@@ -153,6 +153,8 @@ def multi_object_h2o_dist(
     obj_points: jax.Array,  # [bs, nobj, P, 3] canonical point clouds
     obj_mask: jax.Array,  # [bs, nobj] bool
     chunk: int = 2048,
+    x_perm=None,  # static 778-perm (core/mano.hand_template_perm) for the
+    # cluster kernel's x tiling; None falls back to a per-frame Morton sort
 ) -> jax.Array:
     """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
     reference's point2point_signed signs only o2h, which this path discards —
@@ -188,7 +190,9 @@ def multi_object_h2o_dist(
     # h2o is UNSIGNED (the reference signs only the o2h direction, which this
     # path never reads) — the hand normals do not enter; the h2o-only kernel
     # variants skip the o2h/sign work entirely on TPU
-    h2o = G.point2point_h2o(flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk)
+    h2o = G.point2point_h2o(
+        flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk, x_perm=x_perm
+    )
     return h2o.reshape(bs, L, nhv)
 
 
@@ -214,6 +218,7 @@ def target_geometry(
         t_h2o = multi_object_h2o_dist(
             t_verts, t_normals, batch["obj_traj"], batch["obj_points"],
             batch["obj_mask"], chunk=chunk,
+            x_perm=M.hand_template_perm(mano_stack),
         )
     return {
         "target_hand_verts": jax.lax.stop_gradient(t_verts),
@@ -239,6 +244,7 @@ def sample_geometry(
     s_h2o = multi_object_h2o_dist(
         s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
         batch["obj_mask"], chunk=chunk,
+        x_perm=M.hand_template_perm(mano_stack),
     )
     return {
         "sample_hand_verts": s_verts,
@@ -290,7 +296,8 @@ def refine_forward(
         mano_stack, output, batch["shape"], batch["hand_side"]
     )
     r_h2o = multi_object_h2o_dist(
-        r_verts, r_normals, batch["obj_traj"], obj_pts, batch["obj_mask"], chunk=chunk
+        r_verts, r_normals, batch["obj_traj"], obj_pts, batch["obj_mask"],
+        chunk=chunk, x_perm=M.hand_template_perm(mano_stack),
     )
 
     res = {

@@ -104,33 +104,114 @@ def test_gradients_match_oracle():
     )
 
 
-def test_candidate_lists_cover_owners():
-    """Structural invariant: every vert's true NN cell appears in its tile's
-    candidate list (the exactness precondition), and counts shrink when y is
-    spatially sorted (the perf precondition)."""
-    x, y, _ = scene(F=2, P1=256, P2=2048, seed=13, spread=0.1)
-    yv = np.ones((2, 2048), bool)
-    ref_full = G.point2point_h2o(jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv), backend="xla")
+def _grasp_scene(F=2, P1=256, P2=2048, seed=13):
+    """Realistic-geometry scene: spatially sorted object surface cloud with a
+    COMPACT x blob near one side (a hand grasps, it doesn't envelop). The
+    sigma=0.012 blob spans ~4 cm against an ~18 cm object — real-hand
+    proportions; tile compactness is what makes top-K pruning effective
+    (measured: needed cells/tile 5-6 of 16 here vs 9-13 at sigma=0.03)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(P2, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    obj = (v * 0.08 * (1 + 0.2 * rng.random((P2, 1)))).astype(np.float32)
+    obj = obj[spatial_sort_indices(obj)]
+    y = obj[None].repeat(F, 0) + rng.normal(scale=0.02, size=(F, 1, 3)).astype(np.float32)
+    anchor = y[:, :1] * 1.1  # just outside the surface
+    x = (anchor + rng.normal(scale=0.012, size=(F, P1, 3))).astype(np.float32)
+    yv = np.ones((F, P2), bool)
+    return x, y, yv
 
-    def counts_for(yy):
-        xTs, perm, xvalid = CC._x_perm_pad(jnp.asarray(x))
-        yT, yvv = CC._as_yT(jnp.asarray(yy), None, jnp.asarray(yv))
-        _, _, xTc, _, centers, radius, reps, nonempty, _ = CC._prep_cluster_operands(
-            xTs, yT, yvv
-        )
-        _, cc = CC._h2o_candidates(xTc, xvalid, centers, radius, reps, nonempty)
-        return np.asarray(cc)[..., 0]
 
-    c_unsorted = counts_for(y)
-    ys = np.stack([y[i][spatial_sort_indices(y[i])] for i in range(2)])
-    c_sorted = counts_for(ys)
-    # exactness already covered by forward tests; here: sorting helps
-    assert c_sorted.mean() <= c_unsorted.mean() + 1e-9
-    # and the pruned result still matches on the sorted cloud
-    got = np.asarray(
-        CC.point2point_h2o_cluster(jnp.asarray(x), jnp.asarray(ys), jnp.asarray(yv), interpret=True)
+def test_small_k_exact_when_certificate_clear():
+    """With a deliberately small k_cells on a benign grasp scene, the result
+    is exact IFF the overflow certificate is clear — the certificate is the
+    exactness contract (module docstring point 3)."""
+    x, y, yv = _grasp_scene()
+    ovf = np.asarray(
+        CC.h2o_cluster_overflow(jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), k_cells=8)
     )
-    np.testing.assert_allclose(got, np.asarray(ref_full), atol=2e-5)
+    assert ovf.sum() == 0, "grasp scene should not overflow at k_cells=8"
+    ref = _oracle(x, y, yv)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), k_cells=8, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_overflow_certificate_fires_on_adversarial_scene():
+    """x scattered across the WHOLE object at k_cells=2 must trip the
+    certificate (nearly every cell qualifies for some vert)."""
+    x, y, yv = scene(F=2, P1=256, P2=2048, seed=13, spread=0.1)
+    ovf = np.asarray(
+        CC.h2o_cluster_overflow(jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), k_cells=2)
+    )
+    assert ovf.sum() > 0
+
+
+def test_static_template_perm_matches_morton():
+    """The static x_perm path (production: MANO template sort) must agree
+    with the Morton fallback and the oracle, forward and backward."""
+    x, y, yv = _grasp_scene(seed=31)
+    perm = CC.template_perm(x[0])  # template := frame-0 pose
+    ref = _oracle(x, y, yv)
+    got = np.asarray(
+        CC.point2point_h2o_cluster(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), x_perm=perm, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    yT = jnp.swapaxes(jnp.asarray(y), 1, 2)
+    yvj = jnp.asarray(yv)
+
+    def loss_new(x_, yT_):
+        return jnp.sum(
+            CC.point2point_h2o_cluster(
+                x_, yT=yT_, y_valid=yvj, x_perm=perm, interpret=True
+            ) ** 2
+        )
+
+    def loss_ref(x_, y_):
+        return jnp.sum(G.point2point_h2o(x_, y_, y_valid=yvj, backend="xla") ** 2)
+
+    gx_n, gyT_n = jax.grad(loss_new, argnums=(0, 1))(jnp.asarray(x), yT)
+    gx_r, gy_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gyT_n, 1, 2)), np.asarray(gy_r), atol=1e-5
+    )
+
+
+def test_signed_static_perm_and_certificate():
+    x, y, yv = _grasp_scene(seed=33)
+    n = _normals(x, 33)
+    perm = CC.template_perm(x[0])
+    ovf_h, ovf_o = (
+        np.asarray(a)
+        for a in CC.signed_cluster_overflow(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(yv), x_perm=perm
+        )
+    )
+    assert ovf_h.sum() == 0 and ovf_o.sum() == 0
+    r_y2x, r_x2y, r_idx = (np.asarray(a) for a in _oracle_signed(x, y, n, yv))
+    g_y2x, g_x2y, g_idx = (
+        np.asarray(a)
+        for a in CC.point2point_signed_cluster(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(n), jnp.asarray(yv),
+            x_perm=perm, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(g_x2y, r_x2y, atol=2e-5)
+    np.testing.assert_allclose(g_y2x, r_y2x, atol=2e-5)
+    # o2h argmin indices must come back in ORIGINAL vert order
+    d = np.linalg.norm(x[:, :, None] - y[:, None], axis=-1).transpose(0, 2, 1)
+    np.testing.assert_allclose(
+        np.take_along_axis(d, g_idx[..., None], axis=2)[..., 0],
+        np.take_along_axis(d, r_idx[..., None], axis=2)[..., 0],
+        atol=2e-5,
+    )
 
 
 def test_geometry_route_cluster_backend():
