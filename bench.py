@@ -283,8 +283,13 @@ def main():
 
 
 def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
-    """One optimizer step at production shapes for G (geometric losses) and R
-    (cached-target path)."""
+    """Train-step rows: one optimizer step for G (geometric losses) and R
+    (cached-target path), each emitted WITH its shapes (a bare samples/s was
+    read as a production number in round 2 when it was the light canary).
+    Two rows by default: the light regression canary and the PRODUCTION row
+    (bs 64, 2 x 8192 pts — the reference's real cloud size); the production
+    G row also gets a step-time BUDGET (trunk+optimizer / MANO / chamfer /
+    other) — MFU is the wrong lens for an output-rate-bound NN kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -298,23 +303,19 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
     )
     from oakink2_tamf_tpu.parallel import train as PT
 
-    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
-    if n_dev > 1:
-        bs = max(bs, n_dev) - (max(bs, n_dev) % n_dev)
     L = int(os.environ.get("BENCH_SEQLEN", "160"))
-    nobj, P = 2, int(os.environ.get("BENCH_OBJ_POINTS", "4096"))
+    nobj = 2
     chunk = int(os.environ.get("BENCH_CHUNK", "2048"))
-
-    rng = np.random.default_rng(1)
-    batch = synthetic_batch(rng, batch_size=bs, seq_len=L, max_nobj=nobj, n_obj_points=P)
     mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
     assets = LL.load_contact_assets()
+    g_model = InteractionSegmentMDM(MDMConfig.arch_mdm_l())
+    sched = D.tamf_schedule(1000)
 
-    def measure_step(name, step_exe, state, sbatch, flops):
+    def measure(name, step_exe, state, sbatch, bs, P, n_rep=3):
         state, _ = step_exe(state, sbatch, jax.random.PRNGKey(0))  # warm
         jax.tree.leaves(state.params)[0].block_until_ready()
         times = []
-        for i in range(3):
+        for i in range(n_rep):
             t0 = time.perf_counter()
             state, metrics = step_exe(state, sbatch, jax.random.PRNGKey(i + 1))
             _ = float(np.asarray(metrics["loss"]))
@@ -323,49 +324,166 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
         sps = bs / dt / max(n_dev, 1)
         extra[f"{name}_samples_per_sec_per_chip"] = round(sps, 2)
         extra[f"{name}_step_ms"] = round(dt * 1e3, 1)
-        msg = f"# {name}: {dt*1e3:.0f} ms/step, {sps:.2f} samples/s/chip"
-        if flops and peak:
-            extra[f"{name}_mfu"] = round(flops / dt / (peak * n_dev), 4)
-            msg += f", MFU {extra[f'{name}_mfu']:.1%}"
-        print(msg, file=sys.stderr)
-        return state
+        extra[f"{name}_shape"] = {"batch": bs, "seq_len": L, "nobj": nobj,
+                                  "n_obj_points": P, "chunk": chunk}
+        print(f"# {name} (bs{bs} {nobj}x{P}): {dt*1e3:.0f} ms/step, "
+              f"{sps:.2f} samples/s/chip", file=sys.stderr)
+        return state, dt
 
-    # G train step: arch_mdm_l + extra geometric losses
-    g_model = InteractionSegmentMDM(MDMConfig.arch_mdm_l())
-    sched = D.tamf_schedule(1000)
-    cond = PT.g_cond_from_batch(batch)
+    def run_rows(tag, bs, P):
+        if n_dev > 1:
+            bs = max(bs, n_dev) - (max(bs, n_dev) % n_dev)
+        rng = np.random.default_rng(1)
+        batch = synthetic_batch(rng, batch_size=bs, seq_len=L, max_nobj=nobj, n_obj_points=P)
+
+        # G train step: arch_mdm_l + extra geometric losses
+        cond = PT.g_cond_from_batch(batch)
+        params = g_model.init(
+            jax.random.PRNGKey(0), batch["pose_repr"], np.zeros((bs,), np.int32), cond
+        )
+        opt = PT.make_optimizer()
+        state = maybe_rep(PT.init_train_state(params, opt))
+        step_g = PT.make_g_train_step(
+            g_model, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=chunk, mesh=mesh
+        )
+        sbatch = maybe_shard(batch)
+        exe_g = step_g.lower(state, sbatch, jax.random.PRNGKey(0)).compile()
+        state, g_dt = measure(f"train_g{tag}", exe_g, state, sbatch, bs, P)
+        emit()
+        del state, step_g, exe_g
+
+        # R train step: arch_mdm + cached target h2o (production default)
+        rbatch = with_perturbed_sample(batch, rng)
+        tgt_fn = jax.jit(lambda bb: target_geometry(mano_stack, bb, chunk=chunk)["target_h2o_dist"])
+        rbatch = dict(rbatch, target_h2o=np.asarray(tgt_fn(rbatch)))
+        net = SegmentRefineNet(RefineConfig())
+        cond_r = {k: rbatch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+        params = net.init(
+            jax.random.PRNGKey(0), rbatch["sample_pose_repr"],
+            jnp.zeros(rbatch["sample_pose_repr"].shape[:2] + (778,)), cond_r,
+        )
+        opt = PT.make_optimizer()
+        state = maybe_rep(PT.init_train_state(params, opt))
+        step_r = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=chunk, mesh=mesh)
+        sbatch_r = maybe_shard(rbatch)
+        exe_r = step_r.lower(state, sbatch_r, jax.random.PRNGKey(0)).compile()
+        measure(f"train_r{tag}", exe_r, state, sbatch_r, bs, P)
+        emit()
+        return batch, cond, g_dt
+
+    # light regression canary (round-2 comparable) ---------------------------
+    bs0 = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    P0 = int(os.environ.get("BENCH_OBJ_POINTS", "4096"))
+    run_rows("", bs0, P0)
+
+    # production row: the reference's true shapes ----------------------------
+    if os.environ.get("BENCH_PROD", "1") != "0":
+        bs1 = int(os.environ.get("BENCH_PROD_BATCH", "64"))
+        P1 = int(os.environ.get("BENCH_PROD_OBJ_POINTS", "8192"))
+        batch, cond, g_dt = run_rows("_prod", bs1, P1)
+        if os.environ.get("BENCH_BUDGET", "1") != "0":
+            _bench_g_budget(
+                extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
+                g_model, sched, mano_stack, batch, cond, chunk, g_dt,
+            )
+
+
+def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
+                    g_model, sched, mano_stack, batch, cond, chunk, g_step_dt):
+    """Step-time budget for the production G step: trunk+optimizer (G step
+    with the extra losses off), MANO fwd+bwd (pred grad + GT fwd, the step's
+    actual MANO content), chamfer (pred signed fwd+bwd + GT fwd), and the
+    residual (vert/joint/edge losses, one-hot bwd glue, dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oakink2_tamf_tpu.models import losses as LL
+    from oakink2_tamf_tpu.models.refine_r import batch_recover_mano
+    from oakink2_tamf_tpu.parallel import train as PT
+    from oakink2_tamf_tpu.core import transforms as T
+
+    bs = batch["pose_repr"].shape[0]
+    sbatch = maybe_shard(batch)
+
+    def timeit(exe, *args):
+        out = exe(*args)
+        jax.tree.leaves(out)[0].block_until_ready()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = exe(*args)
+            leaf = jax.tree.leaves(out)[0]
+            leaf.block_until_ready()
+            _ = np.asarray(leaf).ravel()[0]
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    # trunk + optimizer: the same step WITHOUT mano/assets/extra_cfg
     params = g_model.init(
         jax.random.PRNGKey(0), batch["pose_repr"], np.zeros((bs,), np.int32), cond
     )
     opt = PT.make_optimizer()
     state = maybe_rep(PT.init_train_state(params, opt))
-    step_g = PT.make_g_train_step(
-        g_model, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=chunk, mesh=mesh
-    )
-    sbatch = maybe_shard(batch)
-    exe_g = step_g.lower(state, sbatch, jax.random.PRNGKey(0)).compile()
-    flops_g = _flops_of(exe_g)
-    state = measure_step("train_g", exe_g, state, sbatch, flops_g)
-    emit()
-    del state, step_g, exe_g, params
+    step = PT.make_g_train_step(g_model, sched, opt, mesh=mesh)
+    exe = step.lower(state, sbatch, jax.random.PRNGKey(0)).compile()
+    holder = {"state": state}  # state is donated: rebind per call
 
-    # R train step: arch_mdm + cached target h2o (production default)
-    rbatch = with_perturbed_sample(batch, rng)
-    tgt_fn = jax.jit(lambda bb: target_geometry(mano_stack, bb, chunk=chunk)["target_h2o_dist"])
-    rbatch = dict(rbatch, target_h2o=np.asarray(tgt_fn(rbatch)))
-    net = SegmentRefineNet(RefineConfig())
-    cond_r = {k: rbatch[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
-    params = net.init(
-        jax.random.PRNGKey(0), rbatch["sample_pose_repr"],
-        jnp.zeros(rbatch["sample_pose_repr"].shape[:2] + (778,)), cond_r,
+    def trunk_call():
+        s, m = exe(holder["state"], sbatch, jax.random.PRNGKey(1))
+        holder["state"] = s
+        return m["loss"]
+
+    trunk_dt = timeit(trunk_call)
+    del exe, step, state, holder
+
+    # MANO: pred fwd+bwd (grad wrt pose_repr) + GT fwd — the step's content
+    def mano_probe(pose):
+        g = jax.grad(
+            lambda p: sum(jnp.sum(t) for t in batch_recover_mano(
+                mano_stack, p, batch["shape"], batch["hand_side"]))
+        )(pose)
+        gt = batch_recover_mano(
+            mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
+        )
+        return jnp.sum(g) + sum(jnp.sum(t) for t in gt)
+
+    exe = jax.jit(mano_probe).lower(batch["pose_repr"]).compile()
+    mano_dt = timeit(lambda: exe(batch["pose_repr"]))
+    del exe
+
+    # chamfer: pred signed fwd+bwd (grad wrt verts+normals) + GT signed fwd
+    verts, _, normals = batch_recover_mano(
+        mano_stack, jnp.asarray(batch["pose_repr"]), batch["shape"], batch["hand_side"]
     )
-    opt = PT.make_optimizer()
-    state = maybe_rep(PT.init_train_state(params, opt))
-    step_r = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=chunk, mesh=mesh)
-    sbatch_r = maybe_shard(rbatch)
-    exe_r = step_r.lower(state, sbatch_r, jax.random.PRNGKey(0)).compile()
-    flops_r = _flops_of(exe_r)
-    measure_step("train_r", exe_r, state, sbatch_r, flops_r)
+    transf = T.tslrot6d_to_transf(jnp.asarray(batch["obj_traj"]))
+    ptsT = jnp.swapaxes(jnp.asarray(batch["obj_points"]), -1, -2)
+    movedT = (
+        jnp.einsum("bolck,bokp->bolcp", transf[..., :3, :3], ptsT,
+                   precision=jax.lax.Precision.HIGHEST)
+        + transf[..., :3, 3][..., None]
+    )
+
+    def chamfer_probe(v, n, mT):
+        def f(vv):
+            o2h, h2o = LL._per_object_signed(vv, n, mT, chunk)
+            return jnp.sum(jnp.abs(o2h)) + jnp.sum(jnp.abs(h2o))
+        g = jax.grad(f)(v)
+        o2h_g, h2o_g = LL._per_object_signed(v, n, mT, chunk)  # GT-side fwd
+        return jnp.sum(g) + jnp.sum(o2h_g) + jnp.sum(h2o_g)
+
+    exe = jax.jit(chamfer_probe).lower(verts, normals, movedT).compile()
+    chamfer_dt = timeit(lambda: exe(verts, normals, movedT))
+    del exe
+
+    budget = {
+        "step_ms": round(g_step_dt * 1e3, 1),
+        "trunk_opt_ms": round(trunk_dt * 1e3, 1),
+        "mano_ms": round(mano_dt * 1e3, 1),
+        "chamfer_ms": round(chamfer_dt * 1e3, 1),
+        "other_ms": round((g_step_dt - trunk_dt - mano_dt - chamfer_dt) * 1e3, 1),
+    }
+    extra["train_g_prod_budget"] = budget
+    print(f"# train_g_prod budget: {budget}", file=sys.stderr)
     emit()
 
 
