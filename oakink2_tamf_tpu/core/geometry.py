@@ -133,9 +133,15 @@ def point2point_signed(
     k_cells: int | None = None,
     k_tiles: int | None = None,
     interpret: bool = False,
+    grad_y: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Signed distances between two point clouds, matching the reference
     model/loss/chamfer_distance.py:point2point_signed.
+
+    grad_y=False declares y/yT OFF the differentiation path: the Pallas
+    backward kernels compile their gy work out (a measured ~25-50%% of the
+    backward) and the VJP returns zeros for y. Every TaMF loss differentiates
+    only the hand verts — the object clouds are batch-derived.
 
     Args:
       x: [N, P1, 3] (hand verts), y: [N, P2, 3] (object points)
@@ -175,7 +181,7 @@ def point2point_signed(
             kw["k_tiles"] = k_tiles
         return CC.point2point_signed_cluster(
             x, y, x_normals=x_normals, y_valid=y_valid, yT=yT,
-            x_perm=x_perm, interpret=interpret, **kw,
+            x_perm=x_perm, interpret=interpret, grad_y=grad_y, **kw,
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
@@ -187,9 +193,11 @@ def point2point_signed(
 
         return point2point_signed_pallas(
             x, y, x_normals=x_normals, y_valid=y_valid,
-            tile=_clamp_tile(chunk, y.shape[1])
+            tile=_clamp_tile(chunk, y.shape[1]), grad_y=grad_y,
         )
 
+    if not grad_y:
+        y = jax.lax.stop_gradient(y)  # XLA path: same zero-gy contract
     return _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk)
 
 
@@ -204,6 +212,7 @@ def point2point_h2o(
     x_perm=None,
     k_cells: int | None = None,
     interpret: bool = False,
+    grad_y: bool = True,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only.
 
@@ -229,7 +238,8 @@ def point2point_h2o(
 
         kw = {} if k_cells is None else {"k_cells": k_cells}
         return CC.point2point_h2o_cluster(
-            x, y, y_valid=y_valid, yT=yT, x_perm=x_perm, interpret=interpret, **kw
+            x, y, y_valid=y_valid, yT=yT, x_perm=x_perm, interpret=interpret,
+            grad_y=grad_y, **kw
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
@@ -237,8 +247,11 @@ def point2point_h2o(
         from ..ops.chamfer_pallas import point2point_h2o_pallas
 
         return point2point_h2o_pallas(
-            x, y, y_valid=y_valid, tile=_clamp_tile(chunk, y.shape[1])
+            x, y, y_valid=y_valid, tile=_clamp_tile(chunk, y.shape[1]),
+            grad_y=grad_y,
         )
+    if not grad_y:
+        y = jax.lax.stop_gradient(y)  # XLA path: same zero-gy contract
     _, x2y, _ = _point2point_signed_xla(x, y, None, None, y_valid, chunk)
     return x2y
 

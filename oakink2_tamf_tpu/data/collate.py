@@ -35,6 +35,8 @@ DEFAULT_COLLATE_KEY = [
     "action_onehot",
     "text_emb",
     "target_h2o",
+    "gt_o2h",
+    "gt_h2o",
 ]
 NO_COLLATE_KEY = [
     "text",

@@ -219,3 +219,136 @@ class TargetH2OCache:
             done, time.time() - t0, self.cache_dir or "in-memory",
         )
         return done
+
+
+class GTGeomCache(TargetH2OCache):
+    """Per-sample cache of G's GT-side signed chamfer (`gt_o2h`/`gt_h2o`).
+
+    The G extra loss compares predicted signed distances against the GT
+    hand's (models/losses.py:237-257, reference extra_loss.py:146-178). Both
+    GT directions are pure functions of the sample — yet they cost one full
+    all-pairs forward (2 MXU matmuls per frame-tile) EVERY train step, ~23%
+    of the G step's chamfer time at production shapes. This wrapper
+    precomputes them once per segment with the exact jitted geometry the
+    train step uses and attaches `gt_o2h` [nobj, L, P] + `gt_h2o`
+    [nobj, L, 778]; models/losses.extra_loss_gt_geometry then skips the GT
+    chamfer entirely.
+
+    Storage: one .npz per index holding only the REAL (unpadded) object rows
+    — ~10.5 MB/sample f32 at nobj=2, L=160, P=8192. Point production runs at
+    a disk dir (`train.data.gt_geom_cache_dir`); in-memory mode suits
+    smoke/medium runs only. Fingerprint/meta/sharding semantics are inherited
+    from TargetH2OCache (same wrong-GT-refusal contract).
+    """
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        data = self.base[index]
+        got = self._load(int(index))
+        if got is None:  # cold miss (precompute skipped): compute this one
+            got = self._compute_single(data)
+            self._store(int(index), got)
+        o2h, h2o = got["o2h"], got["h2o"]
+        max_nobj = int(self.collate.max_nobj)
+        if o2h.shape[0] < max_nobj:  # re-pad the stored real-object rows
+            pad = ((0, max_nobj - o2h.shape[0]),) + ((0, 0),) * (o2h.ndim - 1)
+            o2h = np.pad(o2h, pad)
+            h2o = np.pad(h2o, ((0, max_nobj - h2o.shape[0]), (0, 0), (0, 0)))
+        data["gt_o2h"] = o2h
+        data["gt_h2o"] = h2o
+        return data
+
+    # -- storage (npz with two arrays, real-object rows only) ----------------
+
+    def _path(self, index: int) -> str:
+        return os.path.join(self.cache_dir, f"{index:08d}.npz")
+
+    def _load(self, index: int):
+        if self.cache_dir:
+            p = self._path(index)
+            if not os.path.isfile(p):
+                return None
+            with np.load(p) as z:
+                return {"o2h": z["o2h"], "h2o": z["h2o"]}
+        return self._mem.get(index)
+
+    def _store(self, index: int, val) -> None:
+        if self.cache_dir:
+            tmp = self._path(index) + f".{os.getpid()}.tmp.npz"
+            np.savez(tmp, **val)
+            os.replace(tmp, self._path(index))
+        else:
+            self._mem[index] = val
+
+    # -- compute --------------------------------------------------------------
+
+    def _make_fn(self):
+        import jax
+
+        from ..models.losses import extra_loss_gt_geometry
+
+        mano_stack, chunk = self.mano_stack, self.chunk
+
+        def fn(pose_repr, shape, hand_side, obj_traj, obj_points, mask):
+            gg = extra_loss_gt_geometry(
+                mano_stack,
+                {
+                    "pose_repr": pose_repr, "shape": shape,
+                    "hand_side": hand_side, "obj_traj": obj_traj,
+                    "obj_points": obj_points, "mask": mask,
+                },
+                chunk=chunk, with_chamfer=True,
+            )
+            return gg["o2h_g"], gg["h2o_g"]
+
+        return jax.jit(fn)
+
+    def _run(self, fn, batch):
+        import jax
+
+        o2h, h2o = fn(
+            batch["pose_repr"], batch["shape"], batch["hand_side"],
+            batch["obj_traj"], batch["obj_points"], batch["mask"],
+        )
+        o2h = np.asarray(jax.device_get(o2h), np.float32)
+        h2o = np.asarray(jax.device_get(h2o), np.float32)
+        nums = np.asarray(batch["obj_num"], np.int64) if "obj_num" in batch else None
+        out = []
+        for k in range(o2h.shape[0]):
+            n = int(nums[k]) if nums is not None else o2h.shape[1]
+            n = max(1, min(n, o2h.shape[1]))
+            out.append({"o2h": o2h[k, :n], "h2o": h2o[k, :n]})
+        return out
+
+    def _compute_single(self, data: dict[str, Any]):
+        if self._single_fn is None:
+            self._single_fn = self._make_fn()
+        return self._run(self._single_fn, self.collate([data]))[0]
+
+    def precompute(
+        self, *, force: bool = False, shard_index: int = 0, num_shards: int = 1
+    ) -> int:
+        todo = [
+            i for i in range(len(self.base))
+            if i % num_shards == shard_index and (force or not self._has(i))
+        ]
+        if not todo:
+            return 0
+        if self._batched_fn is None:
+            self._batched_fn = self._make_fn()
+        t0 = time.time()
+        done = 0
+        for lo in range(0, len(todo), self.batch_size):
+            idx = todo[lo : lo + self.batch_size]
+            samples = [self.base[i] for i in idx]
+            n_real = len(samples)
+            while len(samples) < self.batch_size:
+                samples.append(samples[-1])
+            vals = self._run(self._batched_fn, self.collate(samples))
+            for k, i in enumerate(idx[:n_real]):
+                self._store(i, vals[k])
+            done += n_real
+        _logger.info(
+            "gt_geom cache: %d segments precomputed in %.1fs (%s)",
+            done, time.time() - t0, self.cache_dir or "in-memory",
+        )
+        return done

@@ -72,6 +72,12 @@ def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
     reg.register("eval_max_batches", prefix="train", category=int, default=0,
                  desc="val/test batches per eval pass; 0 = the FULL split "
                       "(reference parity, launch/train.py:577-656)")
+    reg.register("cache_gt_geom", prefix="train.data", category=bool, default=False,
+                 desc="precompute G's GT-side signed chamfer per segment "
+                      "(gt_o2h/gt_h2o) instead of recomputing it every step")
+    reg.register("gt_geom_cache_dir", prefix="train.data", category=str, default="",
+                 desc="disk dir for the GT-geometry cache (~10.5 MB/segment "
+                      "f32 at production shapes); empty = in-memory")
 
 
 def reg_diffusion_param(reg: ConfigRegistry) -> None:

@@ -132,7 +132,12 @@ def _per_object_signed(
     x = jnp.broadcast_to(verts[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
     n = jnp.broadcast_to(normals[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
     yT = obj_points_movedT.reshape(-1, 3, P)
-    o2h, h2o, _ = G.point2point_signed(x, x_normals=n, yT=yT, chunk=chunk)
+    # grad_y=False: movedT is batch-derived (obj_traj x canonical clouds) —
+    # never on the path to model params — so the backward kernels drop their
+    # gy one-hot matmul + output stream entirely
+    o2h, h2o, _ = G.point2point_signed(
+        x, x_normals=n, yT=yT, chunk=chunk, grad_y=False
+    )
     return o2h.reshape(bs, nobj, L, P), h2o.reshape(bs, nobj, L, vh)
 
 
@@ -163,7 +168,13 @@ def extra_loss_gt_geometry(
             jnp.einsum("bolck,bokp->bolcp", R, ptsT, precision=jax.lax.Precision.HIGHEST)
             + t[..., None]
         )  # [bs, nobj, L, 3, P]
-        o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, movedT, chunk)
+        if "gt_o2h" in batch and "gt_h2o" in batch:
+            # precomputed per-sample (data/target_cache.GTGeomCache): the GT
+            # all-pairs forward — ~23% of the step's chamfer time — vanishes
+            o2h_g = batch["gt_o2h"].astype(jnp.float32)
+            h2o_g = batch["gt_h2o"].astype(jnp.float32)
+        else:
+            o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, movedT, chunk)
         out.update({"movedT": movedT, "o2h_g": o2h_g, "h2o_g": h2o_g})
     return out
 

@@ -189,9 +189,13 @@ def multi_object_h2o_dist(
     flat_v = valid.reshape(bs * L, nobj * P)
     # h2o is UNSIGNED (the reference signs only the o2h direction, which this
     # path never reads) — the hand normals do not enter; the h2o-only kernel
-    # variants skip the o2h/sign work entirely on TPU
+    # variants skip the o2h/sign work entirely on TPU. grad_y=False: the
+    # object clouds come from the batch (obj_traj x canonical points), never
+    # from model params, so the backward drops the gy matmul and its
+    # serializing accumulation (the cluster kernel's backward bottleneck)
     h2o = G.point2point_h2o(
-        flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk, x_perm=x_perm
+        flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk, x_perm=x_perm,
+        grad_y=False,
     )
     return h2o.reshape(bs, L, nhv)
 

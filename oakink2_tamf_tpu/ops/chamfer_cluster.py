@@ -538,7 +538,8 @@ def _h2o_topk_bwd_kernel(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, gy_
     T = h2oi_ref.shape[1]
     K = cidx_ref.shape[2]
 
-    gy_ref[...] = jnp.zeros_like(gy_ref)
+    if gy_ref is not None:
+        gy_ref[...] = jnp.zeros_like(gy_ref)
 
     for t in range(T):
         xt_t = xt_ref[0, t]  # [3, 128]
@@ -557,15 +558,25 @@ def _h2o_topk_bwd_kernel(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, gy_
                 jnp.float32
             )
             u2 = xr_t * (owner * xt_t - y_at)  # [3, 128], zero off-owner
-            gy_ref[0, pl.ds(c, 1)] -= _dot(u2, M2, ((1,), (1,)))[None]  # [1,3,S]
+            if gy_ref is not None:
+                gy_ref[0, pl.ds(c, 1)] -= _dot(u2, M2, ((1,), (1,)))[None]  # [1,3,S]
             gx_acc = gx_acc + u2
         gx_ref[0, t] = gx_acc
 
 
-def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret):
+def _h2o_topk_bwd_kernel_nogy(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref):
+    """grad_y=False variant. Dropping gy removes BOTH the second one-hot
+    matmul per candidate AND the dynamic-index read-modify-write accumulation
+    into gy_ref — the serialization that made the cluster backward ~5x its
+    forward (measured 850 vs 144 ms at F=2560, 778x8192). No TaMF call site
+    differentiates w.r.t. the object points (models/refine_r.py:179-195)."""
+    _h2o_topk_bwd_kernel(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, None)
+
+
+def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret, grad_y=True):
     """xT_perm [F,3,P1p] permuted; h2o_i/xr [F, P1p] in PERMUTED vert order;
     cidx [F, T, K] the forward's candidate lists.
-    -> (gx [F, 3, P1p] permuted order, gyT [F, 3, P2])."""
+    -> (gx [F, 3, P1p] permuted order, gyT [F, 3, P2] or None)."""
     F, _, P1p = xT_perm.shape
     P2 = yT.shape[2]
     P2p = _round_up(P2, S_CELL)
@@ -586,36 +597,46 @@ def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret):
     h2oi = h2o_i.reshape(F, T, 128)
     xrr = xr.reshape(F, T, 128)
 
+    in_specs = [
+        pl.BlockSpec((1, T, K), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    _gx_spec = pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM)
+    _gy_spec = pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM)
+    if grad_y:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0, grid=(F,), in_specs=in_specs,
+            out_specs=(_gx_spec, _gy_spec),
+        )
+        gx_tiles, gy = pl.pallas_call(
+            _h2o_topk_bwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
+                jax.ShapeDtypeStruct((F, C, 3, S_CELL), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=_cost(13 * F * P1p * K * S_CELL, xt_tiles, yt_cells, h2oi, xrr),
+            interpret=interpret,
+        )(cidx, xt_tiles, yt_cells, h2oi, xrr)
+        gx = gx_tiles.swapaxes(1, 2).reshape(F, 3, P1p)
+        gyT = gy.swapaxes(1, 2).reshape(F, 3, P2p)[:, :, :P2]
+        return gx, gyT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(F,),
-        in_specs=[
-            pl.BlockSpec((1, T, K), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        num_scalar_prefetch=0, grid=(F,), in_specs=in_specs, out_specs=_gx_spec,
     )
-    gx_tiles, gy = pl.pallas_call(
-        _h2o_topk_bwd_kernel,
+    gx_tiles = pl.pallas_call(
+        _h2o_topk_bwd_kernel_nogy,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
-            jax.ShapeDtypeStruct((F, C, 3, S_CELL), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(13 * F * P1p * K * S_CELL, xt_tiles, yt_cells, h2oi, xrr),
+        cost_estimate=_cost(7 * F * P1p * K * S_CELL, xt_tiles, yt_cells, h2oi, xrr),
         interpret=interpret,
     )(cidx, xt_tiles, yt_cells, h2oi, xrr)
-
-    gx = gx_tiles.swapaxes(1, 2).reshape(F, 3, P1p)
-    gyT = gy.swapaxes(1, 2).reshape(F, 3, P2p)[:, :, :P2]
-    return gx, gyT
+    return gx_tiles.swapaxes(1, 2).reshape(F, 3, P1p), None
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +653,7 @@ def point2point_h2o_cluster(
     x_perm: np.ndarray | None = None,  # static template-space tiling perm
     k_cells: int = K_CELLS_DEFAULT,
     interpret: bool = False,
+    grad_y: bool = True,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] via top-K cluster-pruned search.
 
@@ -639,9 +661,14 @@ def point2point_h2o_cluster(
     whenever at most `k_cells` cells qualify per x tile — assert/monitor with
     `h2o_cluster_overflow`. Same custom-VJP contract as the exact kernels:
     NN indices are constants of the backward pass. Prefer passing `yT` and a
-    static `x_perm` (see the module docstring)."""
+    static `x_perm` (see the module docstring). grad_y=False returns ZERO
+    gradient w.r.t. y/yT and compiles the gy matmul + its serializing
+    dynamic-index accumulation out of the backward (see
+    _h2o_topk_bwd_kernel_nogy)."""
     yTv, y_valid = _as_yT(y, yT, y_valid)
-    return _p2h_cluster_core(x, yTv, y_valid, _HashablePerm(x_perm), k_cells, interpret)
+    return _p2h_cluster_core(
+        x, yTv, y_valid, _HashablePerm(x_perm), k_cells, interpret, grad_y
+    )
 
 
 class _HashablePerm:
@@ -659,9 +686,9 @@ class _HashablePerm:
         return isinstance(other, _HashablePerm) and self._key == other._key
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _p2h_cluster_core(x, yT, y_valid, static_perm, k_cells, interpret):
-    out, _ = _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _p2h_cluster_core(x, yT, y_valid, static_perm, k_cells, interpret, grad_y):
+    out, _ = _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y)
     return out
 
 
@@ -677,7 +704,7 @@ def _apply_perm_pad(x, static_perm):
     return xTs, xp, x_valid
 
 
-def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret):
+def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y):
     F, P1, _ = x.shape
     xTs, xp, x_valid = _apply_perm_pad(x, static_perm)
     h2o_d, h2o_i, cidx = _h2o_cluster_forward(
@@ -693,7 +720,7 @@ def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret):
     return x2y_dist, (x, yT, x2y_dist, h2o_i, cidx)
 
 
-def _p2h_cluster_bwd(static_perm, k_cells, interpret, residuals, cotangents):
+def _p2h_cluster_bwd(static_perm, k_cells, interpret, grad_y, residuals, cotangents):
     x, yT, x2y_dist, h2o_i, cidx = residuals
     F, P1, _ = x.shape
     P1p = h2o_i.shape[1]
@@ -702,7 +729,9 @@ def _p2h_cluster_bwd(static_perm, k_cells, interpret, residuals, cotangents):
     xr_s = xp.apply_rows(xr)
     if P1p != P1:
         xr_s = jnp.pad(xr_s, ((0, 0), (0, P1p - P1)))  # zero cotangents on pads
-    gx_s, gyT = _h2o_cluster_backward(xTs, yT, cidx, h2o_i, xr_s, interpret)
+    gx_s, gyT = _h2o_cluster_backward(xTs, yT, cidx, h2o_i, xr_s, interpret, grad_y)
+    if gyT is None:
+        gyT = jnp.zeros_like(yT)
     gx = xp.unapply_lanes(gx_s[:, :, :P1])
     g_valid = np.zeros((yT.shape[0], yT.shape[2]), dtype=jax.dtypes.float0)
     return jnp.swapaxes(gx, 1, 2), gyT, g_valid
@@ -878,17 +907,27 @@ def _o2h_topk_bwd_kernel(cidx_y_ref, xt_ref, yt_ref, oi_ref, yc_ref, gy_ref, gx_
             x_nn = _dot(xt_t, M, ((1,), (0,)))  # [3, S] (0 off-owner)
             owner = ((oi_c >= t * 128) & (oi_c < (t + 1) * 128)).astype(jnp.float32)
             contrib = yc_c * (owner * yt_c - x_nn)  # [3, S], zero off-owner
-            gy_c = gy_c + contrib
+            if gy_ref is not None:
+                gy_c = gy_c + contrib
             gx_ref[0, pl.ds(t, 1)] -= _dot(contrib, M, ((1,), (1,)))[None]  # [1,3,128]
-        gy_ref[0, pl.ds(c, 1)] = gy_c[None]
+        if gy_ref is not None:
+            gy_ref[0, pl.ds(c, 1)] = gy_c[None]
         return 0
 
     jax.lax.fori_loop(0, C, cell_body, 0)
 
 
-def _signed_cluster_backward(xT_perm, yT, cidx, cidx_y, h2oi, o2hi, xr, yc, interpret):
+def _o2h_topk_bwd_kernel_nogy(cidx_y_ref, xt_ref, yt_ref, oi_ref, yc_ref, gx_ref):
+    """grad_y=False variant: drops the gy accumulation/output (the gx
+    dynamic-index stores remain — that side IS the hand-vert gradient)."""
+    _o2h_topk_bwd_kernel(cidx_y_ref, xt_ref, yt_ref, oi_ref, yc_ref, None, gx_ref)
+
+
+def _signed_cluster_backward(
+    xT_perm, yT, cidx, cidx_y, h2oi, o2hi, xr, yc, interpret, grad_y=True
+):
     """xr [F, P1p] permuted-order h2o cotangent rows; yc [F, P2] o2h rows.
-    -> (gx [F, 3, P1p] permuted order, gyT [F, 3, P2])."""
+    -> (gx [F, 3, P1p] permuted order, gyT [F, 3, P2] or None)."""
     F, _, P1p = xT_perm.shape
     P2 = yT.shape[2]
     P2p = _round_up(P2, S_CELL)
@@ -897,7 +936,7 @@ def _signed_cluster_backward(xT_perm, yT, cidx, cidx_y, h2oi, o2hi, xr, yc, inte
     Kx = cidx_y.shape[2]
 
     # h2o side reuses the h2o-only backward kernel wholesale
-    gx_h, gyT_h = _h2o_cluster_backward(xT_perm, yT, cidx, h2oi, xr, interpret)
+    gx_h, gyT_h = _h2o_cluster_backward(xT_perm, yT, cidx, h2oi, xr, interpret, grad_y)
 
     ctr = jnp.mean(yT, axis=2, keepdims=True)
     yTp = yT.astype(jnp.float32) - ctr
@@ -911,36 +950,46 @@ def _signed_cluster_backward(xT_perm, yT, cidx, cidx_y, h2oi, o2hi, xr, yc, inte
     oi_cells = o2hi.reshape(F, C, S_CELL)
     yc_cells = yc.reshape(F, C, S_CELL)
 
+    in_specs = [
+        pl.BlockSpec((1, C, Kx), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, S_CELL), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, S_CELL), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    _gy_spec = pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM)
+    _gx_spec = pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM)
+    if grad_y:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0, grid=(F,), in_specs=in_specs,
+            out_specs=(_gy_spec, _gx_spec),
+        )
+        gy_o, gx_o = pl.pallas_call(
+            _o2h_topk_bwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((F, C, 3, S_CELL), jnp.float32),
+                jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=_cost(26 * F * P2p * Kx * 128, xt_tiles, yt_cells, oi_cells, yc_cells),
+            interpret=interpret,
+        )(cidx_y, xt_tiles, yt_cells, oi_cells, yc_cells)
+        gx = gx_h + gx_o.swapaxes(1, 2).reshape(F, 3, P1p)
+        gyT = gyT_h + gy_o.swapaxes(1, 2).reshape(F, 3, P2p)[:, :, :P2]
+        return gx, gyT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(F,),
-        in_specs=[
-            pl.BlockSpec((1, C, Kx), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, S_CELL), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, S_CELL), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        num_scalar_prefetch=0, grid=(F,), in_specs=in_specs, out_specs=_gx_spec,
     )
-    gy_o, gx_o = pl.pallas_call(
-        _o2h_topk_bwd_kernel,
+    gx_o = pl.pallas_call(
+        _o2h_topk_bwd_kernel_nogy,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((F, C, 3, S_CELL), jnp.float32),
-            jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((F, T, 3, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(26 * F * P2p * Kx * 128, xt_tiles, yt_cells, oi_cells, yc_cells),
+        cost_estimate=_cost(20 * F * P2p * Kx * 128, xt_tiles, yt_cells, oi_cells, yc_cells),
         interpret=interpret,
     )(cidx_y, xt_tiles, yt_cells, oi_cells, yc_cells)
-
-    gx = gx_h + gx_o.swapaxes(1, 2).reshape(F, 3, P1p)
-    gyT = gyT_h + gy_o.swapaxes(1, 2).reshape(F, 3, P2p)[:, :, :P2]
-    return gx, gyT
+    return gx_h + gx_o.swapaxes(1, 2).reshape(F, 3, P1p), None
 
 
 # ---------------------------------------------------------------------------
@@ -959,6 +1008,7 @@ def point2point_signed_cluster(
     k_cells: int = K_CELLS_DEFAULT,
     k_tiles: int = K_TILES_DEFAULT,
     interpret: bool = False,
+    grad_y: bool = True,
 ):
     """Drop-in for core.geometry.point2point_signed via top-K cluster-pruned
     search. Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]).
@@ -966,32 +1016,34 @@ def point2point_signed_cluster(
     Exact whenever the per-tile/per-cell candidate counts stay within
     k_cells/k_tiles (monitor with `signed_cluster_overflow`). Same custom-VJP
     contract as the exact kernel: NN indices are constants of the backward;
-    normals enter only through sign() (zero gradient a.e.)."""
+    normals enter only through sign() (zero gradient a.e.). grad_y=False
+    returns ZERO gradient w.r.t. y/yT and compiles the gy work out of both
+    backward kernels."""
     has_normals = x_normals is not None
     if x_normals is None:
         x_normals = jnp.zeros_like(x)
     yTv, y_valid = _as_yT(y, yT, y_valid)
     return _p2ps_cluster_core(
         x, yTv, x_normals, y_valid,
-        _HashablePerm(x_perm), k_cells, k_tiles, interpret, has_normals,
+        _HashablePerm(x_perm), k_cells, k_tiles, interpret, has_normals, grad_y,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _p2ps_cluster_core(
     x, yT, x_normals, y_valid,
-    static_perm, k_cells, k_tiles, interpret, has_normals,
+    static_perm, k_cells, k_tiles, interpret, has_normals, grad_y,
 ):
     out, _ = _p2ps_cluster_fwd(
         x, yT, x_normals, y_valid,
-        static_perm, k_cells, k_tiles, interpret, has_normals,
+        static_perm, k_cells, k_tiles, interpret, has_normals, grad_y,
     )
     return out
 
 
 def _p2ps_cluster_fwd(
     x, yT, x_normals, y_valid,
-    static_perm, k_cells, k_tiles, interpret, has_normals,
+    static_perm, k_cells, k_tiles, interpret, has_normals, grad_y,
 ):
     F, P1, _ = x.shape
     P2 = yT.shape[2]
@@ -1022,7 +1074,8 @@ def _p2ps_cluster_fwd(
 
 
 def _p2ps_cluster_bwd(
-    static_perm, k_cells, k_tiles, interpret, has_normals, residuals, cotangents
+    static_perm, k_cells, k_tiles, interpret, has_normals, grad_y,
+    residuals, cotangents,
 ):
     x, yT, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, cidx, cidx_y, y_valid = residuals
     g_y2x, g_x2y, _ = cotangents  # no gradient through the int index output
@@ -1041,8 +1094,10 @@ def _p2ps_cluster_bwd(
     # o2h_i and yc are [F, P2]; _signed_cluster_backward pads both to P2p
 
     gx_s, gyT = _signed_cluster_backward(
-        xTs, yT, cidx, cidx_y, h2o_i, o2h_i, xr_s, yc, interpret
+        xTs, yT, cidx, cidx_y, h2o_i, o2h_i, xr_s, yc, interpret, grad_y
     )
+    if gyT is None:
+        gyT = jnp.zeros_like(yT)
     gx = xp.unapply_lanes(gx_s[:, :, :P1])
     g_valid = np.zeros((yT.shape[0], yT.shape[2]), dtype=jax.dtypes.float0)
     return jnp.swapaxes(gx, 1, 2), gyT, jnp.zeros_like(x), g_valid

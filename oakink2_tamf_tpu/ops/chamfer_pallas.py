@@ -386,8 +386,36 @@ def _nn_h2o_bwd_kernel(xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, gy_ref):
             gx_ref[b] += u2
 
 
-def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret):
-    """Run _nn_h2o_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3])."""
+def _nn_h2o_bwd_kernel_nogy(xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref):
+    """grad_y=False variant: the gy one-hot matmul — HALF this kernel's MXU
+    work — and the [3, TILE] output stream are compiled out (no TaMF call
+    site differentiates w.r.t. the object points; see point2point_h2o_pallas).
+
+    gx comes out as PER-TILE partials [F, n_tiles, 3, P1p], summed by the
+    caller in XLA: with the c-varying gy output gone, a c-accumulated gx
+    would be the kernel's ONLY output and constant over the inner grid dim —
+    MEASURED to destroy Mosaic's pipelining (signed variant: 1658 ms vs
+    1074 ms for the gy=True kernel doing MORE work, F=2560 778x8192). A
+    c-indexed output block restores the overlap."""
+    c = pl.program_id(1)
+    tile = yt_ref.shape[2]
+    P1p = xt_ref.shape[2]
+
+    for b in range(xt_ref.shape[0]):
+        xt = xt_ref[b]
+        yt = yt_ref[b]
+        h2oi = h2oi_ref[b]  # [1, P1p]
+        xr = xr_ref[b]  # [1, P1p]
+
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
+        M2 = (rows2 == h2oi).astype(jnp.float32)
+        y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p], 0 off-owner
+        owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
+        gx_ref[b, 0] = xr * (owner * xt - y_at)  # per-tile partial
+
+
+def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y=True):
+    """Run _nn_h2o_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None)."""
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
@@ -415,32 +443,47 @@ def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret):
         xr = jnp.pad(xr, fpad)  # zero cotangents: pad frames contribute 0
 
     grid = (Fp // fb, P2p // tile)
-    gx, gy = pl.pallas_call(
-        _nn_h2o_bwd_kernel,
+    in_specs = [
+        pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    _gx_spec = pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _gy_spec = pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
-            jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
-        ),
+        in_specs=in_specs,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(13 * Fp * P1p * P2p, xT, yT, h2o_i, xr),
         interpret=interpret,
-    )(xT, yT, h2o_i, xr)
-
-    return (
-        jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
-        jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
     )
+    if grad_y:
+        gx, gy = pl.pallas_call(
+            _nn_h2o_bwd_kernel,
+            out_specs=(_gx_spec, _gy_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
+                jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
+            ),
+            cost_estimate=_cost(13 * Fp * P1p * P2p, xT, yT, h2o_i, xr),
+            **common,
+        )(xT, yT, h2o_i, xr)
+        return (
+            jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
+            jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
+        )
+    n_tiles = P2p // tile
+    gx = pl.pallas_call(
+        _nn_h2o_bwd_kernel_nogy,
+        out_specs=pl.BlockSpec(
+            (fb, 1, 3, P1p), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Fp, n_tiles, 3, P1p), jnp.float32),
+        cost_estimate=_cost(7 * Fp * P1p * P2p, xT, yT, h2o_i, xr),
+        **common,
+    )(xT, yT, h2o_i, xr)
+    gx = jnp.sum(gx, axis=1)  # tile partials -> total (cheap XLA reduce)
+    return jnp.swapaxes(gx[:F], 1, 2)[:, :P1], None
 
 
 def point2point_h2o_pallas(
@@ -450,24 +493,31 @@ def point2point_h2o_pallas(
     *,
     tile: int = 2048,
     interpret: bool = False,
+    grad_y: bool = True,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only (R's h2o feature/loss).
 
     Same custom-VJP structure as point2point_signed_pallas, with the o2h
     direction and the sign machinery compiled out entirely.
+
+    grad_y=False returns ZERO gradient w.r.t. y and compiles the gy one-hot
+    matmul (half the backward kernel) out — valid whenever y is not on the
+    differentiation path (every TaMF loss differentiates only the hand verts;
+    the object clouds are batch-derived: models/refine_r.py:179-195,
+    models/losses.py:120-136).
     """
     if y_valid is None:
         y_valid = jnp.ones(y.shape[:2], bool)
-    return _p2h_core(x, y, y_valid, tile, interpret)
+    return _p2h_core(x, y, y_valid, tile, interpret, grad_y)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _p2h_core(x, y, y_valid, tile, interpret):
-    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _p2h_core(x, y, y_valid, tile, interpret, grad_y):
+    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret, grad_y)
     return out
 
 
-def _p2h_fwd(x, y, y_valid, tile, interpret):
+def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y):
     h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret)
     x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
 
@@ -478,12 +528,14 @@ def _p2h_fwd(x, y, y_valid, tile, interpret):
     return x2y_dist, (x, y, x2y_dist, h2o_i)
 
 
-def _p2h_bwd(tile, interpret, residuals, cotangents):
+def _p2h_bwd(tile, interpret, grad_y, residuals, cotangents):
     import numpy as np
 
     x, y, x2y_dist, h2o_i = residuals
     xr = cotangents / jnp.maximum(x2y_dist, 1e-12)
-    gx, gy = _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret)
+    gx, gy = _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y)
+    if gy is None:
+        gy = jnp.zeros_like(y)
     g_valid = np.zeros(y.shape[:2], dtype=jax.dtypes.float0)
     return gx, gy, g_valid
 
@@ -548,8 +600,43 @@ def _nn_bwd_kernel(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_ref, g
             gx_ref[b] += gx
 
 
-def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
-    """Run _nn_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3])."""
+def _nn_bwd_kernel_nogy(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_ref):
+    """grad_y=False variant: drops the gy one-hot matmul (1 of 4) and the
+    [3, TILE] gy output stream — valid whenever y is off the differentiation
+    path (every TaMF call site; see point2point_signed_pallas).
+
+    gx comes out as PER-TILE partials [F, n_tiles, 3, P1p] summed by the
+    caller — see _nn_h2o_bwd_kernel_nogy for the measured Mosaic-pipelining
+    rationale (a c-constant sole output serializes the grid)."""
+    c = pl.program_id(1)
+    tile = yt_ref.shape[2]
+    P1p = xt_ref.shape[2]
+
+    for b in range(xt_ref.shape[0]):
+        xt = xt_ref[b]
+        yt = yt_ref[b]
+        h2oi = h2oi_ref[b]  # [1, P1p]
+        o2hi = o2hi_ref[b]  # [1, TILE]
+        xr = xr_ref[b]  # [1, P1p]
+        yc = yc_ref[b]  # [1, TILE]
+
+        # o2h side: M[i, j] = 1 iff i == o2hi_j
+        rows = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 0)
+        M = (rows == o2hi).astype(jnp.float32)
+        x_nn = _dot(xt, M, ((1,), (0,)))  # [3, TILE] = x_{i*_j}
+        contrib = yc * (yt - x_nn)  # [3, TILE]
+        gx = -_dot(contrib, M, ((1,), (1,)))  # [3, P1p]
+
+        # h2o side: M2[j, i] = 1 iff c*tile + j == h2oi_i (owner tile only)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (tile, P1p), 0) + c * tile
+        M2 = (rows2 == h2oi).astype(jnp.float32)
+        y_at = _dot(yt, M2, ((1,), (0,)))  # [3, P1p] = y_{j*_i} (0 off-owner)
+        owner = ((h2oi >= c * tile) & (h2oi < (c + 1) * tile)).astype(jnp.float32)
+        gx_ref[b, 0] = gx + xr * (owner * xt - y_at)  # per-tile partial
+
+
+def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y=True):
+    """Run _nn_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None)."""
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
@@ -587,8 +674,9 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
     grid = (Fp // fb, n_tiles)
     _xcol = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
     _yrow = pl.BlockSpec((fb, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
-    gx, gy = pl.pallas_call(
-        _nn_bwd_kernel,
+    _gx_spec = pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _gy_spec = pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
         in_specs=[
             pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
@@ -598,24 +686,36 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret):
             _xcol,
             _yrow,
         ],
-        out_specs=(
-            pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
-            jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
-        ),
         # two f32 one-hot [P1p, tile] masks blow the default 16M scoped vmem
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(26 * Fp * P1p * P2p, xT, yT, h2o_i, o2h_i, xr, yc),
         interpret=interpret,
-    )(xT, yT, h2o_i, o2h_i, xr, yc)
-
-    return (
-        jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
-        jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
     )
+    if grad_y:
+        gx, gy = pl.pallas_call(
+            _nn_bwd_kernel,
+            out_specs=(_gx_spec, _gy_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Fp, 3, P1p), jnp.float32),
+                jax.ShapeDtypeStruct((Fp, 3, P2p), jnp.float32),
+            ),
+            cost_estimate=_cost(26 * Fp * P1p * P2p, xT, yT, h2o_i, o2h_i, xr, yc),
+            **common,
+        )(xT, yT, h2o_i, o2h_i, xr, yc)
+        return (
+            jnp.swapaxes(gx[:F], 1, 2)[:, :P1],
+            jnp.swapaxes(gy[:F], 1, 2)[:, :P2],
+        )
+    gx = pl.pallas_call(
+        _nn_bwd_kernel_nogy,
+        out_specs=pl.BlockSpec(
+            (fb, 1, 3, P1p), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Fp, n_tiles, 3, P1p), jnp.float32),
+        cost_estimate=_cost(20 * Fp * P1p * P2p, xT, yT, h2o_i, o2h_i, xr, yc),
+        **common,
+    )(xT, yT, h2o_i, o2h_i, xr, yc)
+    gx = jnp.sum(gx, axis=1)  # tile partials -> total (cheap XLA reduce)
+    return jnp.swapaxes(gx[:F], 1, 2)[:, :P1], None
 
 
 def point2point_signed_pallas(
@@ -626,6 +726,7 @@ def point2point_signed_pallas(
     *,
     tile: int = 2048,
     interpret: bool = False,
+    grad_y: bool = True,
 ):
     """Drop-in for core.geometry.point2point_signed backed by the fused kernel.
     Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]).
@@ -636,6 +737,11 @@ def point2point_signed_pallas(
     gather formulation). Both directions' gradients run through _nn_bwd_kernel
     (one-hot MXU contractions — no gathers/scatters). Normals enter only
     through sign(), whose gradient is zero a.e. (parity with torch .sign()).
+
+    grad_y=False returns ZERO gradient w.r.t. y and compiles the gy one-hot
+    matmul + output stream out of the backward — valid whenever y is not on
+    the differentiation path (every TaMF loss differentiates only the hand
+    verts; the object clouds are batch-derived: models/losses.py:120-136).
     """
     has_normals = x_normals is not None
     if x_normals is None:
@@ -643,18 +749,18 @@ def point2point_signed_pallas(
     if y_valid is None:
         y_valid = jnp.ones(y.shape[:2], bool)
     y2x_signed, x2y_signed, o2h_i = _p2ps_core(
-        x, y, x_normals, y_valid, tile, interpret, has_normals
+        x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y
     )
     return y2x_signed, x2y_signed, o2h_i
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _p2ps_core(x, y, x_normals, y_valid, tile, interpret, has_normals):
-    out, _ = _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _p2ps_core(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y):
+    out, _ = _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y)
     return out
 
 
-def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals):
+def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y):
     h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = _nn_forward(
         x, y, y_valid, x_normals if has_normals else None, tile, interpret
     )
@@ -687,7 +793,7 @@ def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals):
     return (y2x_signed, x2y_signed, o2h_i), residuals
 
 
-def _p2ps_bwd(tile, interpret, has_normals, residuals, cotangents):
+def _p2ps_bwd(tile, interpret, has_normals, grad_y, residuals, cotangents):
     import numpy as np
 
     x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid = residuals
@@ -696,7 +802,9 @@ def _p2ps_bwd(tile, interpret, has_normals, residuals, cotangents):
     # cotangent rows pre-divided by distances (see _nn_bwd_kernel docstring)
     xr = g_x2y / jnp.maximum(x2y_dist, 1e-12)
     yc = jnp.where(y_valid, sign, 0.0) * g_y2x / jnp.maximum(y2x_dist, 1e-12)
-    gx, gy = _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret)
+    gx, gy = _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y)
+    if gy is None:
+        gy = jnp.zeros_like(y)
 
     # x_normals only enters through sign() — zero gradient a.e. (torch parity);
     # y_valid is boolean -> float0 cotangent

@@ -327,3 +327,46 @@ def test_signed_geometry_route():
     )
     np.testing.assert_allclose(g_x2y, r_x2y, atol=2e-5)
     np.testing.assert_allclose(g_y2x, r_y2x, atol=2e-5)
+
+
+def test_grad_y_false_matches_gx_and_zeros_gy():
+    """grad_y=False (the loss call sites' mode: the object clouds are batch-
+    derived, models/refine_r.py:179-195) must leave gx bit-identical to the
+    grad_y=True kernel and return exactly zero for gy."""
+    x, y, yv = scene(F=2, P1=140, P2=500, seed=17)
+    xj, yvj = jnp.asarray(x), jnp.asarray(yv)
+    yT = jnp.swapaxes(jnp.asarray(y), 1, 2)
+
+    def loss(x_, yT_, gy):
+        return jnp.sum(
+            CC.point2point_h2o_cluster(
+                x_, yT=yT_, y_valid=yvj, interpret=True, grad_y=gy
+            ) ** 2
+        )
+
+    gx_t, gy_t = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(xj, yT)
+    gx_f, gy_f = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(xj, yT)
+    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_t))
+    assert np.any(np.asarray(gy_t) != 0.0)
+    np.testing.assert_array_equal(np.asarray(gy_f), np.zeros_like(gy_f))
+
+
+def test_signed_grad_y_false_matches_gx_and_zeros_gy():
+    x, y, yv = scene(F=2, P1=150, P2=400, seed=19)
+    rng = np.random.default_rng(21)
+    n = rng.normal(size=x.shape).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    xj, nj, yvj = jnp.asarray(x), jnp.asarray(n), jnp.asarray(yv)
+    yT = jnp.swapaxes(jnp.asarray(y), 1, 2)
+
+    def loss(x_, yT_, gy):
+        o2h, h2o, _ = CC.point2point_signed_cluster(
+            x_, x_normals=nj, y_valid=yvj, yT=yT_, interpret=True, grad_y=gy
+        )
+        return jnp.sum(o2h**2) + jnp.sum(h2o**2)
+
+    gx_t, gy_t = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(xj, yT)
+    gx_f, gy_f = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(xj, yT)
+    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_t))
+    assert np.any(np.asarray(gy_t) != 0.0)
+    np.testing.assert_array_equal(np.asarray(gy_f), np.zeros_like(gy_f))

@@ -153,3 +153,38 @@ def test_point2point_h2o_pallas_value_and_grad():
     gx_r, gy_r = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_r), rtol=1e-4, atol=1e-5)
+
+
+def test_grad_y_false_pallas_matches_gx_and_zeros_gy():
+    """grad_y=False must leave gx bit-identical (the nogy kernels drop ONLY
+    the gy one-hot matmuls) and return exactly zero gy — for both the signed
+    and the h2o-only all-pairs kernels."""
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32) * 0.1)
+    y = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32) * 0.2)
+    n = rng.normal(size=(2, 150, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.asarray(n)
+
+    def loss_signed(x_, y_, gy):
+        o2h, h2o, _ = CP.point2point_signed_pallas(
+            x_, y_, x_normals=n, tile=128, interpret=True, grad_y=gy
+        )
+        return jnp.sum(o2h**2) + jnp.sum(h2o**2)
+
+    gx_t, gy_t = jax.grad(lambda a, b: loss_signed(a, b, True), argnums=(0, 1))(x, y)
+    gx_f, gy_f = jax.grad(lambda a, b: loss_signed(a, b, False), argnums=(0, 1))(x, y)
+    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_t))
+    assert np.any(np.asarray(gy_t) != 0.0)
+    np.testing.assert_array_equal(np.asarray(gy_f), np.zeros_like(gy_f))
+
+    def loss_h2o(x_, y_, gy):
+        return jnp.sum(
+            CP.point2point_h2o_pallas(x_, y_, tile=128, interpret=True, grad_y=gy) ** 2
+        )
+
+    gx_t, gy_t = jax.grad(lambda a, b: loss_h2o(a, b, True), argnums=(0, 1))(x, y)
+    gx_f, gy_f = jax.grad(lambda a, b: loss_h2o(a, b, False), argnums=(0, 1))(x, y)
+    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_t))
+    assert np.any(np.asarray(gy_t) != 0.0)
+    np.testing.assert_array_equal(np.asarray(gy_f), np.zeros_like(gy_f))

@@ -244,3 +244,79 @@ def test_g_train_step_host_provided_t(mesh, small_g):
     state, metrics = step(state, sbatch, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(metrics["per_sample_t"]), np.arange(8) % 30)
     assert np.isfinite(float(metrics["diffusion_loss"]))
+
+
+def test_gt_geom_cache(mesh, tmp_path):
+    """GTGeomCache: precomputed gt_o2h/gt_h2o equal the inline GT-side signed
+    chamfer, extra_loss_gt_geometry consumes them, and disk mode round-trips
+    with real-object-row compression."""
+    from oakink2_tamf_tpu.data.collate import SegmentCollate
+    from oakink2_tamf_tpu.data.target_cache import GTGeomCache
+    from oakink2_tamf_tpu.launch import common
+
+    base = common.SyntheticSegments(size=6, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    collate = SegmentCollate(max_nobj=NOBJ, n_obj_points=P)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+
+    cache = GTGeomCache(base, mano_stack, collate, chunk=64, batch_size=4)
+    assert cache.precompute() == 6
+    assert cache.precompute() == 0  # idempotent
+
+    batch = collate([cache[i] for i in range(4)])
+    assert batch["gt_o2h"].shape == (4, NOBJ, L, P)
+    assert batch["gt_h2o"].shape == (4, NOBJ, L, 778)
+    db = {k: jnp.asarray(v) for k, v in common.device_batch(batch).items()}
+
+    gg_cached = LL.extra_loss_gt_geometry(mano_stack, db, chunk=64)
+    db_inline = {k: v for k, v in db.items() if k not in ("gt_o2h", "gt_h2o")}
+    gg_inline = LL.extra_loss_gt_geometry(mano_stack, db_inline, chunk=64)
+    # padded-object rows are garbage in BOTH paths (masked by om in the loss):
+    # compare only the real-object rows
+    nreal = np.asarray(batch["obj_num"]).astype(int)
+    for k in ("o2h_g", "h2o_g"):
+        for b in range(4):
+            np.testing.assert_allclose(
+                np.asarray(gg_cached[k])[b, : nreal[b]],
+                np.asarray(gg_inline[k])[b, : nreal[b]], atol=1e-5,
+            )
+
+    disk = GTGeomCache(
+        base, mano_stack, collate, chunk=64, batch_size=4, cache_dir=str(tmp_path / "g")
+    )
+    s = disk[2]  # cold miss -> computed + persisted (real rows only)
+    np.testing.assert_allclose(s["gt_o2h"], cache[2]["gt_o2h"], atol=1e-5)
+    np.testing.assert_allclose(s["gt_h2o"], cache[2]["gt_h2o"], atol=1e-5)
+    assert disk._has(2) and not disk._has(0)
+
+
+def test_g_train_step_with_cached_gt_geom(mesh, small_g):
+    """The G step with batch-carried gt_o2h/gt_h2o produces the same loss as
+    the inline GT chamfer (real-object terms only differ by float noise)."""
+    rng = np.random.default_rng(13)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    # force every object real so cached/inline paths see identical masked terms
+    batch["obj_mask"] = np.ones_like(batch["obj_mask"])
+    sched = D.tamf_schedule(20)
+    params = init_g(small_g, batch)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    assets = LL.load_contact_assets()
+    opt = PT.make_optimizer()
+    step = PT.make_g_train_step(
+        small_g, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=64, mesh=mesh
+    )
+
+    gg = LL.extra_loss_gt_geometry(mano_stack, {k: jnp.asarray(v) for k, v in batch.items()}, chunk=64)
+    batch_cached = dict(batch, gt_o2h=np.asarray(gg["o2h_g"]), gt_h2o=np.asarray(gg["h2o_g"]))
+
+    params2 = jax.tree.map(jnp.array, params)
+    s1 = replicate(PT.init_train_state(params, opt), mesh)
+    s2 = replicate(PT.init_train_state(params2, opt), mesh)
+    _, m_inline = step(s1, shard_batch(batch, mesh), jax.random.PRNGKey(5))
+    _, m_cached = step(s2, shard_batch(batch_cached, mesh), jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        float(m_cached["loss"]), float(m_inline["loss"]), rtol=2e-5
+    )
+    for k in ("extra/dist_h", "extra/dist_o"):
+        np.testing.assert_allclose(
+            float(m_cached[k]), float(m_inline[k]), rtol=2e-5
+        )
