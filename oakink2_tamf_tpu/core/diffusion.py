@@ -442,6 +442,132 @@ def p_sample_loop(
     return img
 
 
+def p_sample_loop_trajectory(
+    model_fn,
+    sched: DiffusionSchedule,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    *,
+    noise: jax.Array | None = None,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+    cond_fn=None,
+    const_noise: bool = False,
+    skip_timesteps: int = 0,
+    init_image: jax.Array | None = None,
+    dump_steps: Sequence[int] | None = None,
+    with_pred_xstart: bool = False,
+    model_mean_type: ModelMeanType = ModelMeanType.START_X,
+    model_var_type: ModelVarType = ModelVarType.FIXED_SMALL,
+):
+    """Reverse chain that returns intermediate states — the functional
+    equivalent of the reference's `p_sample_loop_progressive` generator +
+    `dump_steps` (gd.py:506-640). A python generator cannot live inside a
+    compiled scan, so the scan STACKS the per-step outputs instead; the
+    caller slices what it needs.
+
+    Returns a dict:
+      - "sample": [bs, ...] the final x_0 sample
+      - "trajectory": [S, bs, ...] the chain states, one per reverse step in
+        chain order (index 0 = the t=T-1-skip step's output, index S-1 = the
+        final sample); with `dump_steps` only those step indices are kept
+        ([len(dump_steps), bs, ...], same semantics as the reference's dump).
+      - "pred_xstart": same stacking of per-step x_0 predictions when
+        `with_pred_xstart` (the progressive generator exposes them too).
+    """
+    T = sched.num_timesteps
+    key, k_init = jax.random.split(key)
+    img = jax.random.normal(k_init, shape, jnp.float32) if noise is None else noise
+
+    t_start = T - skip_timesteps
+    if skip_timesteps and init_image is not None:
+        key, k_q = jax.random.split(key)
+        t0 = jnp.full((shape[0],), t_start - 1, jnp.int32)
+        img = q_sample(sched, init_image, t0, jax.random.normal(k_q, shape, jnp.float32))
+
+    ts = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
+    keys = jax.random.split(key, ts.shape[0])
+
+    def body(img, inp):
+        t_scalar, k = inp
+        t = jnp.full((shape[0],), t_scalar, jnp.int32)
+        out = p_sample(
+            model_fn, sched, img, t, k,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_fn=cond_fn,
+            const_noise=const_noise,
+            model_mean_type=model_mean_type, model_var_type=model_var_type,
+        )
+        ys = (out["sample"], out["pred_xstart"]) if with_pred_xstart else out["sample"]
+        return out["sample"], ys
+
+    img, ys = jax.lax.scan(body, img, (ts, keys))
+    traj, preds = ys if with_pred_xstart else (ys, None)
+    if dump_steps is not None:
+        idx = jnp.asarray(sorted(int(i) for i in dump_steps), jnp.int32)
+        traj = jnp.take(traj, idx, axis=0)
+        if preds is not None:
+            preds = jnp.take(preds, idx, axis=0)
+    out = {"sample": img, "trajectory": traj}
+    if with_pred_xstart:
+        out["pred_xstart"] = preds
+    return out
+
+
+def calc_bpd_loop(
+    model_fn,
+    sched: DiffusionSchedule,
+    x_start: jax.Array,
+    key: jax.Array,
+    *,
+    clip_denoised: bool = False,
+    noise: jax.Array | None = None,
+    model_mean_type: ModelMeanType = ModelMeanType.START_X,
+):
+    """Full variational lower-bound sweep (gd.py:1207-1262 calc_bpd_loop):
+    one vb/xstart-MSE/eps-MSE evaluation per timestep, as a single on-device
+    `lax.scan` over t = T-1..0 (the reference dispatches T separate forwards
+    from python).
+
+    `noise` [T, bs, ...] optionally pins the per-timestep q_sample draws
+    (index 0 = t=T-1, matching scan order) — used by the parity tests.
+
+    Returns {"total_bpd" [bs], "prior_bpd" [bs], "vb" [bs,T],
+    "xstart_mse" [bs,T], "mse" [bs,T]}; column 0 of the [bs,T] arrays is
+    t = T-1 (reference stacking order).
+    """
+    T = sched.num_timesteps
+    bs = x_start.shape[0]
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    if noise is None:
+        noise = jax.random.normal(key, (T,) + x_start.shape, x_start.dtype)
+
+    def body(_, inp):
+        t_scalar, nz = inp
+        t = jnp.full((bs,), t_scalar, jnp.int32)
+        x_t = q_sample(sched, x_start, t, nz)
+        out = vb_terms_bpd(
+            model_fn, sched, x_start, x_t, t,
+            clip_denoised=clip_denoised, model_mean_type=model_mean_type,
+        )
+        xstart_mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+        eps = predict_eps_from_xstart(sched, x_t, t, out["pred_xstart"])
+        eps_mse = mean_flat((eps - nz) ** 2)
+        return 0, (out["output"], xstart_mse, eps_mse)
+
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, 0, (ts, noise))
+    vb = jnp.swapaxes(vb, 0, 1)  # [bs, T], column 0 = t=T-1
+    xstart_mse = jnp.swapaxes(xstart_mse, 0, 1)
+    mse = jnp.swapaxes(mse, 0, 1)
+    pb = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": jnp.sum(vb, axis=1) + pb,
+        "prior_bpd": pb,
+        "vb": vb,
+        "xstart_mse": xstart_mse,
+        "mse": mse,
+    }
+
+
 def ddim_sample_loop(
     model_fn,
     sched: DiffusionSchedule,
