@@ -134,6 +134,7 @@ def point2point_signed(
     k_tiles: int | None = None,
     interpret: bool = False,
     grad_y: bool = True,
+    y_group: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Signed distances between two point clouds, matching the reference
     model/loss/chamfer_distance.py:point2point_signed.
@@ -142,6 +143,14 @@ def point2point_signed(
     backward kernels compile their gy work out (a measured ~25-50%% of the
     backward) and the VJP returns zeros for y. Every TaMF loss differentiates
     only the hand verts — the object clouds are batch-derived.
+
+    y_group > 1 is the SHARED-Y mode (requires grad_y=False): y/yT carry
+    [N // y_group, ...] clouds, frame f searches cloud f // y_group. Call
+    sites move the hand into each object's CANONICAL frame (distances are
+    rigid-invariant), so one canonical cloud serves all its frames — the
+    per-frame cloud operands (8.1 GB at the bs64 2x8192 G train step — an
+    OOM) collapse by a factor of y_group. The XLA fallback expands y
+    per-frame (CPU tests / small shapes; memory there is not the concern).
 
     Args:
       x: [N, P1, 3] (hand verts), y: [N, P2, 3] (object points)
@@ -170,8 +179,12 @@ def point2point_signed(
     # measured k_tiles=6/7 still errs 1 cm in contact), and with all tiles
     # searched the split kernels lose the fused all-pairs kernel's shared
     # distance pass. backend="cluster" remains available for experiments.
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     use_cluster = backend == "cluster"
     if use_cluster:
+        if y_group > 1:
+            raise NotImplementedError("backend='cluster' has no y_group support")
         from ..ops import chamfer_cluster as CC
 
         kw = {}
@@ -193,9 +206,13 @@ def point2point_signed(
 
         return point2point_signed_pallas(
             x, y, x_normals=x_normals, y_valid=y_valid,
-            tile=_clamp_tile(chunk, y.shape[1]), grad_y=grad_y,
+            tile=_clamp_tile(chunk, y.shape[1]), grad_y=grad_y, y_group=y_group,
         )
 
+    if y_group > 1:  # XLA fallback: expand the shared clouds per frame
+        y = jnp.repeat(y, y_group, axis=0)
+        if y_valid is not None:
+            y_valid = jnp.repeat(y_valid, y_group, axis=0)
     if not grad_y:
         y = jax.lax.stop_gradient(y)  # XLA path: same zero-gy contract
     return _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk)
@@ -213,6 +230,7 @@ def point2point_h2o(
     k_cells: int | None = None,
     interpret: bool = False,
     grad_y: bool = True,
+    y_group: int = 1,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only.
 
@@ -229,6 +247,8 @@ def point2point_h2o(
     cluster path — the Morton fallback costs a per-frame argsort. `yT`
     [N, 3, P2] is the coordinate-major cloud — prefer it on the cluster path
     ([.., 3]-minor arrays are tile-padded 42x on TPU)."""
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     p2 = y.shape[1] if y is not None else yT.shape[2]
     use_cluster = backend == "cluster" or (
         backend == "auto" and _on_tpu() and p2 >= 4096
@@ -239,7 +259,7 @@ def point2point_h2o(
         kw = {} if k_cells is None else {"k_cells": k_cells}
         return CC.point2point_h2o_cluster(
             x, y, y_valid=y_valid, yT=yT, x_perm=x_perm, interpret=interpret,
-            grad_y=grad_y, **kw
+            grad_y=grad_y, y_group=y_group, **kw
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
@@ -248,8 +268,12 @@ def point2point_h2o(
 
         return point2point_h2o_pallas(
             x, y, y_valid=y_valid, tile=_clamp_tile(chunk, y.shape[1]),
-            grad_y=grad_y,
+            grad_y=grad_y, y_group=y_group,
         )
+    if y_group > 1:  # XLA fallback: expand the shared clouds per frame
+        y = jnp.repeat(y, y_group, axis=0)
+        if y_valid is not None:
+            y_valid = jnp.repeat(y_valid, y_group, axis=0)
     if not grad_y:
         y = jax.lax.stop_gradient(y)  # XLA path: same zero-gy contract
     _, x2y, _ = _point2point_signed_xla(x, y, None, None, y_valid, chunk)

@@ -118,25 +118,39 @@ def _edges(verts: jax.Array, vpe: jax.Array) -> jax.Array:
 
 
 def _per_object_signed(
-    verts: jax.Array,  # [bs, L, 778, 3]
+    verts: jax.Array,  # [bs, L, 778, 3] world-frame hand verts
     normals: jax.Array,  # [bs, L, 778, 3]
-    obj_points_movedT: jax.Array,  # [bs, nobj, L, 3, P] world clouds, COORD-major
+    transf: jax.Array,  # [bs, nobj, L, 4, 4] canonical->world rigid transforms
+    obj_points: jax.Array,  # [bs, nobj, P, 3] CANONICAL clouds
     chunk: int,
 ):
     """Per-object signed distances: returns (o2h [bs,nobj,L,P], h2o [bs,nobj,L,778]).
 
-    The object clouds ride coordinate-major ([.., 3]-minor arrays tile-pad
-    3 -> 128 on TPU — chamfer_cluster.py layout note)."""
-    bs, nobj, L, _, P = obj_points_movedT.shape
+    Distances are rigid-invariant, so instead of moving each object's
+    canonical cloud to the world frame per frame (a [bs,nobj,L,3,P] monster —
+    its kernel operand prep measured 8.1 GB of HBM temps and OOM'd the bs64
+    2x8192 G train step), the HAND moves into each object's CANONICAL frame
+    (x' = R^T(v - t), [bs,nobj,L,778,3] — 42x smaller) and the kernel runs
+    in SHARED-Y mode: one cloud operand per (sample, object), y_group = L
+    frames each (ops/chamfer_pallas._prep_operands). Normals rotate with
+    R^T; the o2h sign n'·(y' - x') = n·(y - x) is unchanged.
+    """
+    bs, nobj, L = transf.shape[:3]
+    P = obj_points.shape[2]
     vh = verts.shape[2]
-    x = jnp.broadcast_to(verts[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
-    n = jnp.broadcast_to(normals[:, None], (bs, nobj, L, vh, 3)).reshape(-1, vh, 3)
-    yT = obj_points_movedT.reshape(-1, 3, P)
-    # grad_y=False: movedT is batch-derived (obj_traj x canonical clouds) —
-    # never on the path to model params — so the backward kernels drop their
-    # gy one-hot matmul + output stream entirely
+    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3] (world_c = sum_k R[c,k] y_k)
+    t = transf[..., :3, 3]  # [bs, nobj, L, 3]
+    diff = verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
+    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
+    x = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi).reshape(-1, vh, 3)
+    n = jnp.einsum(
+        "bolck,blvc->bolvk", R, normals, precision=hi
+    ).reshape(-1, vh, 3)
+    yT = jnp.swapaxes(obj_points, -1, -2).reshape(-1, 3, P)  # [bs*nobj, 3, P]
+    # grad_y=False: the clouds are batch-derived — never on the path to model
+    # params — so the backward kernels drop their gy work entirely
     o2h, h2o, _ = G.point2point_signed(
-        x, x_normals=n, yT=yT, chunk=chunk, grad_y=False
+        x, x_normals=n, yT=yT, chunk=chunk, grad_y=False, y_group=L
     )
     return o2h.reshape(bs, nobj, L, P), h2o.reshape(bs, nobj, L, vh)
 
@@ -151,31 +165,23 @@ def extra_loss_gt_geometry(
     """GT-side geometry of the G extra loss — a pure function of the batch
     (no model output), so the train step computes it OUTSIDE the grad closure
     and passes it into the checkpointed loss as an input (never recomputed in
-    the backward, no policy ambiguity). `movedT` (world-frame object clouds, coordinate-major) is
-    included: the pred-side chamfer consumes the same tensor."""
+    the backward, no policy ambiguity)."""
     verts_gt, joints_gt, normals_gt = batch_recover_mano(
         mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
     )
     out = {"verts_gt": verts_gt, "joints_gt": joints_gt, "normals_gt": normals_gt}
     if with_chamfer:
-        transf = T.tslrot6d_to_transf(batch["obj_traj"])  # [bs, nobj, L, 4, 4]
-        # coordinate-major straight out of the rigid-transform einsum — the
-        # [.., P, 3] layout would tile-pad 3 -> 128 on TPU (42x HBM blowup)
-        R = transf[..., :3, :3]
-        t = transf[..., :3, 3]
-        ptsT = jnp.swapaxes(batch["obj_points"], -1, -2)  # [bs, nobj, 3, P]
-        movedT = (
-            jnp.einsum("bolck,bokp->bolcp", R, ptsT, precision=jax.lax.Precision.HIGHEST)
-            + t[..., None]
-        )  # [bs, nobj, L, 3, P]
         if "gt_o2h" in batch and "gt_h2o" in batch:
             # precomputed per-sample (data/target_cache.GTGeomCache): the GT
             # all-pairs forward — ~23% of the step's chamfer time — vanishes
             o2h_g = batch["gt_o2h"].astype(jnp.float32)
             h2o_g = batch["gt_h2o"].astype(jnp.float32)
         else:
-            o2h_g, h2o_g = _per_object_signed(verts_gt, normals_gt, movedT, chunk)
-        out.update({"movedT": movedT, "o2h_g": o2h_g, "h2o_g": h2o_g})
+            transf = T.tslrot6d_to_transf(batch["obj_traj"])  # [bs,nobj,L,4,4]
+            o2h_g, h2o_g = _per_object_signed(
+                verts_gt, normals_gt, transf, batch["obj_points"], chunk
+            )
+        out.update({"o2h_g": o2h_g, "h2o_g": h2o_g})
     return out
 
 
@@ -208,10 +214,10 @@ def interaction_segment_extra_loss(
             mano_stack, batch, chunk=chunk, with_chamfer=need_chamfer
         )
         # name ONLY the small geometry tensors as savable residuals; the
-        # chamfer-branch outputs (movedT [bs,nobj,L,3,P] / o2h_g) are multi-GB
-        # at production shapes and must stay rematerializable under
-        # save_only_these_names (the train step avoids this path entirely by
-        # passing gt_geom as a checkpoint input)
+        # chamfer-branch output o2h_g is multi-GB at production shapes and
+        # must stay rematerializable under save_only_these_names (the train
+        # step avoids this path entirely by passing gt_geom as a checkpoint
+        # input)
         gt_geom = {
             k: (checkpoint_name(v, "geom_res")
                 if k in ("verts_gt", "joints_gt", "normals_gt") else v)
@@ -246,8 +252,11 @@ def interaction_segment_extra_loss(
 
     # per-object signed-distance losses
     if need_chamfer:
-        movedT, o2h_g, h2o_g = gt_geom["movedT"], gt_geom["o2h_g"], gt_geom["h2o_g"]
-        o2h_p, h2o_p = _per_object_signed(verts_pred, normals_pred, movedT, chunk)
+        o2h_g, h2o_g = gt_geom["o2h_g"], gt_geom["h2o_g"]
+        transf = T.tslrot6d_to_transf(batch["obj_traj"])  # cheap [bs,nobj,L,4,4]
+        o2h_p, h2o_p = _per_object_signed(
+            verts_pred, normals_pred, transf, batch["obj_points"], chunk
+        )
 
         obj_mask = batch["obj_mask"].astype(mask.dtype)  # [bs, nobj]
         num_obj = jnp.maximum(jnp.sum(obj_mask, axis=1), 1.0)  # [bs]

@@ -160,33 +160,26 @@ def multi_object_h2o_dist(
     reference's point2point_signed signs only o2h, which this path discards —
     hand_normals is kept in the signature for reference parity but unused).
 
-    Each object's canonical cloud is moved by its per-frame rigid transform,
-    all objects concatenate on the point axis (static nobj: padded objects are
-    masked out of the nearest-neighbor search), then one signed point2point.
-    """
+    The reference moves every object's canonical cloud to the world frame
+    per frame and searches their union. Distances are rigid-invariant, so
+    the HAND moves into each object's CANONICAL frame instead (x' =
+    R^T(v - t), a [bs,nobj,L,778,3] tensor — 42x smaller than the per-frame
+    clouds whose prep/cell-stat passes used to cost more than the pruned NN
+    kernel itself), the kernel runs in SHARED-Y mode (one cloud + one set of
+    cell stats per (sample, object); y_group = L frames each), and the union
+    min becomes a masked min over the per-object distances — identical by
+    min(A ∪ B) = min(min A, min B)."""
     bs, L, nhv, _ = hand_verts.shape
     nobj, P = obj_points.shape[1], obj_points.shape[2]
 
     transf = T.tslrot6d_to_transf(obj_traj)  # [bs, nobj, L, 4, 4]
-    # move canonical points COORDINATE-MAJOR: the [bs,L,nobj*P,3] layout is
-    # tile-padded 3 -> 128 on TPU (42x HBM blowup, chamfer_pallas.py:22-28);
-    # emitting [.., 3, P] straight out of the rigid-transform einsum means the
-    # point-minor monster never exists (measured: prep/stat passes over it
-    # cost more than the pruned chamfer kernel itself).
-    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3]
+    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3] (world_c = sum_k R[c,k] y_k)
     t = transf[..., :3, 3]  # [bs, nobj, L, 3]
-    ptsT = jnp.swapaxes(obj_points, -1, -2)  # [bs, nobj, 3, P] (small)
-    movedT = (
-        jnp.einsum("bolck,bokp->bolcp", R, ptsT, precision=jax.lax.Precision.HIGHEST)
-        + t[..., None]
-    )  # [bs, nobj, L, 3, P]
-    movedT = jnp.moveaxis(movedT, 1, 3).reshape(bs, L, 3, nobj * P)
-    valid = jnp.repeat(obj_mask, P, axis=1)  # [bs, nobj*P]
-    valid = jnp.broadcast_to(valid[:, None, :], (bs, L, nobj * P))
-
-    flat_h = hand_verts.reshape(bs * L, nhv, 3)
-    flat_oT = movedT.reshape(bs * L, 3, nobj * P)
-    flat_v = valid.reshape(bs * L, nobj * P)
+    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
+    diff = hand_verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
+    xc = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi)
+    flat_h = xc.reshape(bs * nobj * L, nhv, 3)
+    flat_oT = jnp.swapaxes(obj_points, -1, -2).reshape(bs * nobj, 3, P)
     # h2o is UNSIGNED (the reference signs only the o2h direction, which this
     # path never reads) — the hand normals do not enter; the h2o-only kernel
     # variants skip the o2h/sign work entirely on TPU. grad_y=False: the
@@ -194,10 +187,14 @@ def multi_object_h2o_dist(
     # from model params, so the backward drops the gy matmul and its
     # serializing accumulation (the cluster kernel's backward bottleneck)
     h2o = G.point2point_h2o(
-        flat_h, yT=flat_oT, y_valid=flat_v, chunk=chunk, x_perm=x_perm,
-        grad_y=False,
+        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm,
+        grad_y=False, y_group=L,
     )
-    return h2o.reshape(bs, L, nhv)
+    h2o = h2o.reshape(bs, nobj, L, nhv)
+    # padded object slots lose the union min (the reference masks their
+    # points out of the search; min over per-object mins is identical)
+    h2o = jnp.where(obj_mask[:, :, None, None], h2o, jnp.inf)
+    return jnp.min(h2o, axis=1)
 
 
 def target_geometry(

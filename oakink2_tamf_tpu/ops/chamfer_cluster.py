@@ -396,18 +396,26 @@ def _as_yT(y, yT, y_valid):
     return yT, y_valid
 
 
-def _prep_cluster_operands(xT, yT, y_valid):
-    """xT [F,3,P1p] (already permuted + padded), yT [F,3,P2] ->
-    (xa [F,5,P1p], ya_cells [F,C,5,S], xTc, yTc, centers, radius, reps,
-    nonempty, dims). Per-frame centering on the y mean (cancellation
-    control, chamfer_pallas._prep_operands)."""
+def _prep_cluster_operands(xT, yT, y_valid, y_group=1):
+    """xT [F,3,P1p] (already permuted + padded), yT [G,3,P2] with
+    G = F // y_group -> (xa [F,5,P1p], ya_cells [G,C,5,S], xTc, yTc,
+    centers/radius/reps/nonempty [G,...], dims). Per-frame centering on the
+    y mean (cancellation control, chamfer_pallas._prep_operands).
+
+    y_group > 1 is the SHARED-Y mode (see chamfer_pallas._prep_operands):
+    frame f searches cloud f // y_group; cell stats and the cell operand are
+    computed ONCE per cloud instead of once per frame."""
     F, _, P1p = xT.shape
-    P2 = yT.shape[2]
+    G, _, P2 = yT.shape
+    assert F == G * y_group, (F, G, y_group)
     P2p = _round_up(P2, S_CELL)
     C = P2p // S_CELL
 
-    ctr = jnp.mean(yT, axis=2, keepdims=True)  # [F, 3, 1]
-    xT = xT - ctr
+    ctr = jnp.mean(yT, axis=2, keepdims=True)  # [G, 3, 1]
+    if y_group == 1:
+        xT = xT - ctr
+    else:
+        xT = (xT.reshape(G, y_group, 3, P1p) - ctr[:, None]).reshape(F, 3, P1p)
     yT = yT - ctr
     if P2p != P2:
         yT = jnp.pad(yT, ((0, 0), (0, 0), (0, P2p - P2)))
@@ -423,9 +431,9 @@ def _prep_cluster_operands(xT, yT, y_valid):
     ysq = jnp.sum(yT * yT, axis=1)
     ysq = jnp.where(y_valid, ysq, BIG)  # invalid points lose inside any cell
     ya = jnp.concatenate(
-        [yT, jnp.ones((F, 1, P2p), jnp.float32), ysq[:, None]], axis=1
-    )  # [F, 5, P2p]
-    ya_cells = ya.reshape(F, 5, C, S_CELL).swapaxes(1, 2)  # [F, C, 5, S]
+        [yT, jnp.ones((G, 1, P2p), jnp.float32), ysq[:, None]], axis=1
+    )  # [G, 5, P2p]
+    ya_cells = ya.reshape(G, 5, C, S_CELL).swapaxes(1, 2)  # [G, C, 5, S]
     return xa, ya_cells, xT, yT, y_valid, centers, radius, reps, nonempty, (F, P2, P2p, C)
 
 
@@ -481,26 +489,37 @@ def _h2o_topk_kernel(cidx_ref, xa_ref, ya_ref, d_ref, i_ref):
         i_ref[0, t] = best_i[0]
 
 
-def _h2o_cluster_forward(xT_perm, x_valid, yT, y_valid, k_cells, interpret):
+def _h2o_cluster_forward(xT_perm, x_valid, yT, y_valid, k_cells, interpret, y_group=1):
     """xT_perm [F, 3, P1p] permuted coordinate-major hand verts.
     -> (h2o_sqd [F, P1p], h2o_i [F, P1p]) in PERMUTED vert order."""
     xa, ya_cells, xTc, _, _, centers, radius, reps, nonempty, (F, P2, P2p, C) = (
-        _prep_cluster_operands(xT_perm, yT, y_valid)
+        _prep_cluster_operands(xT_perm, yT, y_valid, y_group)
     )
     P1p = xT_perm.shape[2]
     T = P1p // 128
     K = min(k_cells, C)
     xa = _mask_pad_lanes(xa, x_valid)
+    if y_group > 1:
+        # candidate selection runs per frame; the per-GROUP cell stats are
+        # tiny ([G,3,C] etc.) — expand them to frames for the select pass
+        centers, radius, reps, nonempty = (
+            jnp.repeat(a, y_group, axis=0) for a in (centers, radius, reps, nonempty)
+        )
     cidx, _ = _h2o_select(xTc, x_valid, centers, radius, reps, nonempty, K)
     xa_tiles = xa.reshape(F, 5, T, 128).swapaxes(1, 2)  # [F, T, 5, 128]
 
+    _ya_spec = pl.BlockSpec(
+        (1, C, 5, S_CELL),
+        (lambda f: (f, 0, 0, 0)) if y_group == 1 else (lambda f: (f // y_group, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(F,),
         in_specs=[
             pl.BlockSpec((1, T, K), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, 5, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 5, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+            _ya_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
@@ -573,12 +592,14 @@ def _h2o_topk_bwd_kernel_nogy(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref
     _h2o_topk_bwd_kernel(cidx_ref, xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, None)
 
 
-def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret, grad_y=True):
+def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret, grad_y=True, y_group=1):
     """xT_perm [F,3,P1p] permuted; h2o_i/xr [F, P1p] in PERMUTED vert order;
-    cidx [F, T, K] the forward's candidate lists.
-    -> (gx [F, 3, P1p] permuted order, gyT [F, 3, P2] or None)."""
+    cidx [F, T, K] the forward's candidate lists; yT [G, 3, P2].
+    -> (gx [F, 3, P1p] permuted order, gyT [G, 3, P2] or None)."""
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     F, _, P1p = xT_perm.shape
-    P2 = yT.shape[2]
+    G, _, P2 = yT.shape
     P2p = _round_up(P2, S_CELL)
     C = P2p // S_CELL
     T = P1p // 128
@@ -586,21 +607,31 @@ def _h2o_cluster_backward(xT_perm, yT, cidx, h2o_i, xr, interpret, grad_y=True):
 
     # center x and y identically (gradient differences are shift-invariant,
     # but the one-hot matmuls are cancellation-limited like the forward)
-    ctr = jnp.mean(yT, axis=2, keepdims=True)
+    ctr = jnp.mean(yT, axis=2, keepdims=True)  # [G, 3, 1]
     yTp = yT.astype(jnp.float32) - ctr
-    xTc = xT_perm.astype(jnp.float32) - ctr
+    if y_group == 1:
+        xTc = xT_perm.astype(jnp.float32) - ctr
+    else:
+        xTc = (
+            xT_perm.astype(jnp.float32).reshape(G, y_group, 3, P1p) - ctr[:, None]
+        ).reshape(F, 3, P1p)
     if P2p != P2:
         yTp = jnp.pad(yTp, ((0, 0), (0, 0), (0, P2p - P2)))
-    yt_cells = yTp.reshape(F, 3, C, S_CELL).swapaxes(1, 2)  # [F, C, 3, S]
+    yt_cells = yTp.reshape(G, 3, C, S_CELL).swapaxes(1, 2)  # [G, C, 3, S]
     xt_tiles = xTc.reshape(F, 3, T, 128).swapaxes(1, 2)  # [F, T, 3, 128]
 
     h2oi = h2o_i.reshape(F, T, 128)
     xrr = xr.reshape(F, T, 128)
 
+    _yt_spec = pl.BlockSpec(
+        (1, C, 3, S_CELL),
+        (lambda f: (f, 0, 0, 0)) if y_group == 1 else (lambda f: (f // y_group, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = [
         pl.BlockSpec((1, T, K), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, T, 3, 128), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, 3, S_CELL), lambda f: (f, 0, 0, 0), memory_space=pltpu.VMEM),
+        _yt_spec,
         pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -654,6 +685,7 @@ def point2point_h2o_cluster(
     k_cells: int = K_CELLS_DEFAULT,
     interpret: bool = False,
     grad_y: bool = True,
+    y_group: int = 1,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] via top-K cluster-pruned search.
 
@@ -664,10 +696,17 @@ def point2point_h2o_cluster(
     static `x_perm` (see the module docstring). grad_y=False returns ZERO
     gradient w.r.t. y/yT and compiles the gy matmul + its serializing
     dynamic-index accumulation out of the backward (see
-    _h2o_topk_bwd_kernel_nogy)."""
+    _h2o_topk_bwd_kernel_nogy).
+
+    y_group > 1 is the SHARED-Y mode (requires grad_y=False): y/yT carry
+    [N // y_group, ...] clouds, frame f searches cloud f // y_group, and the
+    per-cloud CELL STATS + cell operands are built once per cloud instead of
+    once per frame (call sites pass canonical clouds; rigid invariance)."""
     yTv, y_valid = _as_yT(y, yT, y_valid)
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     return _p2h_cluster_core(
-        x, yTv, y_valid, _HashablePerm(x_perm), k_cells, interpret, grad_y
+        x, yTv, y_valid, _HashablePerm(x_perm), k_cells, interpret, grad_y, y_group
     )
 
 
@@ -686,9 +725,11 @@ class _HashablePerm:
         return isinstance(other, _HashablePerm) and self._key == other._key
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _p2h_cluster_core(x, yT, y_valid, static_perm, k_cells, interpret, grad_y):
-    out, _ = _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _p2h_cluster_core(x, yT, y_valid, static_perm, k_cells, interpret, grad_y, y_group):
+    out, _ = _p2h_cluster_fwd(
+        x, yT, y_valid, static_perm, k_cells, interpret, grad_y, y_group
+    )
     return out
 
 
@@ -704,11 +745,11 @@ def _apply_perm_pad(x, static_perm):
     return xTs, xp, x_valid
 
 
-def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y):
+def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y, y_group):
     F, P1, _ = x.shape
     xTs, xp, x_valid = _apply_perm_pad(x, static_perm)
     h2o_d, h2o_i, cidx = _h2o_cluster_forward(
-        xTs, x_valid, yT, y_valid, k_cells, interpret
+        xTs, x_valid, yT, y_valid, k_cells, interpret, y_group
     )
     x2y_dist = jnp.sqrt(jnp.maximum(xp.unapply_rows(h2o_d[:, :P1]), 0.0))
 
@@ -720,7 +761,7 @@ def _p2h_cluster_fwd(x, yT, y_valid, static_perm, k_cells, interpret, grad_y):
     return x2y_dist, (x, yT, x2y_dist, h2o_i, cidx)
 
 
-def _p2h_cluster_bwd(static_perm, k_cells, interpret, grad_y, residuals, cotangents):
+def _p2h_cluster_bwd(static_perm, k_cells, interpret, grad_y, y_group, residuals, cotangents):
     x, yT, x2y_dist, h2o_i, cidx = residuals
     F, P1, _ = x.shape
     P1p = h2o_i.shape[1]
@@ -729,7 +770,9 @@ def _p2h_cluster_bwd(static_perm, k_cells, interpret, grad_y, residuals, cotange
     xr_s = xp.apply_rows(xr)
     if P1p != P1:
         xr_s = jnp.pad(xr_s, ((0, 0), (0, P1p - P1)))  # zero cotangents on pads
-    gx_s, gyT = _h2o_cluster_backward(xTs, yT, cidx, h2o_i, xr_s, interpret, grad_y)
+    gx_s, gyT = _h2o_cluster_backward(
+        xTs, yT, cidx, h2o_i, xr_s, interpret, grad_y, y_group
+    )
     if gyT is None:
         gyT = jnp.zeros_like(yT)
     gx = xp.unapply_lanes(gx_s[:, :, :P1])
@@ -1112,7 +1155,8 @@ _p2ps_cluster_core.defvjp(_p2ps_cluster_fwd, _p2ps_cluster_bwd)
 
 
 def h2o_cluster_overflow(
-    x, y=None, y_valid=None, *, yT=None, x_perm=None, k_cells: int = K_CELLS_DEFAULT
+    x, y=None, y_valid=None, *, yT=None, x_perm=None,
+    k_cells: int = K_CELLS_DEFAULT, y_group: int = 1,
 ) -> jax.Array:
     """Per-frame count of x tiles whose qualifying-cell count exceeds
     `k_cells` [F] i32 — zero everywhere PROVES point2point_h2o_cluster was
@@ -1120,8 +1164,12 @@ def h2o_cluster_overflow(
     yTv, y_valid = _as_yT(y, yT, y_valid)
     xTs, xp, x_valid = _apply_perm_pad(x, x_perm)
     _, _, xTc, _, _, centers, radius, reps, nonempty, (F, P2, P2p, C) = (
-        _prep_cluster_operands(xTs, yTv, y_valid)
+        _prep_cluster_operands(xTs, yTv, y_valid, y_group)
     )
+    if y_group > 1:
+        centers, radius, reps, nonempty = (
+            jnp.repeat(a, y_group, axis=0) for a in (centers, radius, reps, nonempty)
+        )
     _, ovf = _h2o_select(
         xTc, x_valid, centers, radius, reps, nonempty, min(k_cells, C)
     )

@@ -164,14 +164,23 @@ def _nn_kernel(
         )
 
 
-def _prep_operands(x, y, y_valid, x_normals, tile):
+def _prep_operands(x, y, y_valid, x_normals, tile, y_group=1):
     """Build the augmented coordinate-major kernel operands (xa, na, ya) —
     minor dim is the point axis, so the TPU (8,128) tiling pads nothing
-    material. na is None when x_normals is None (h2o-only path skips it)."""
+    material. na is None when x_normals is None (h2o-only path skips it).
+
+    y_group > 1 is the SHARED-Y mode: y is [G, P2, 3] with G = F // y_group
+    and frame f searches cloud f // y_group. TaMF's object clouds are
+    rigid transforms of per-(sample, object) canonical clouds, and distances
+    are rigid-invariant, so call sites move the HAND into each object's
+    canonical frame and share ONE ya per (sample, object) across all L
+    frames — the per-frame ya/yT temporaries (measured 8.1 GB and the OOM
+    at the bs64 2x8192 G step) collapse by a factor of y_group (=L)."""
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
+    assert F == y.shape[0] * y_group, (F, y.shape, y_group)
 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -182,14 +191,17 @@ def _prep_operands(x, y, y_valid, x_normals, tile):
     # several chamfer calls (R computes sample/refine/target h2o against the
     # SAME points) also share the shifted ya operand via CSE — centering on
     # x was measured to cost +4 GB HBM (OOM) on the R train step at P=8192.
-    ctr = jnp.mean(y, axis=1, keepdims=True)  # [F, 1, 3]
-    x = x - ctr
+    ctr = jnp.mean(y, axis=1, keepdims=True)  # [G, 1, 3]
+    if y_group == 1:
+        x = x - ctr
+    else:
+        x = (x.reshape(-1, y_group, P1, 3) - ctr[:, None]).reshape(F, P1, 3)
     y = y - ctr
 
     xT = jnp.swapaxes(x, 1, 2)  # [F, 3, P1]
-    yT = jnp.swapaxes(y, 1, 2)  # [F, 3, P2]
+    yT = jnp.swapaxes(y, 1, 2)  # [G, 3, P2]
     xsq = jnp.sum(x * x, axis=-1)  # [F, P1]
-    ysq = jnp.sum(y * y, axis=-1)  # [F, P2]
+    ysq = jnp.sum(y * y, axis=-1)  # [G, P2]
     if y_valid is not None:
         # validity rides inside ysq (see _nn_kernel): invalid columns lose
         ysq = jnp.where(y_valid, ysq, BIG)
@@ -208,7 +220,7 @@ def _prep_operands(x, y, y_valid, x_normals, tile):
         pad = P2p - P2
         yT = jnp.pad(yT, ((0, 0), (0, 0), (0, pad)))
         ysq = jnp.pad(ysq, ((0, 0), (0, pad)), constant_values=BIG)
-    ones_y = jnp.ones((F, 1, P2p), jnp.float32)
+    ones_y = jnp.ones((yT.shape[0], 1, P2p), jnp.float32)
     zeros_x = jnp.zeros((F, 1, P1p), jnp.float32)
     xa = jnp.concatenate([-2.0 * xT, xsq[:, None], 1.0 + zeros_x], axis=1)
     na = (
@@ -216,15 +228,21 @@ def _prep_operands(x, y, y_valid, x_normals, tile):
         if x_normals is not None
         else None
     )
-    ya = jnp.concatenate([yT, ones_y, ysq[:, None]], axis=1)  # [F, 5, P2p]
+    ya = jnp.concatenate([yT, ones_y, ysq[:, None]], axis=1)  # [G, 5, P2p]
 
     fb = _frame_block(F, P1p, tile)
+    if y_group > 1:
+        # shared-y blocks are (1, ...) on the y side and the kernels index
+        # ya_ref[b] over the x block — keep the two in lockstep at fb=1
+        # (fb is 1 today anyway, see _frame_block)
+        fb = 1
     Fp = _round_up(F, fb)
     if Fp != F:
         fpad = ((0, Fp - F), (0, 0), (0, 0))
         # pad frames: all-BIG xsq rows make their outputs garbage; sliced off
         xa = jnp.pad(xa, fpad)
-        ya = jnp.pad(ya, fpad)
+        if y_group == 1:
+            ya = jnp.pad(ya, fpad)
         if na is not None:
             na = jnp.pad(na, fpad)
     return xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp)
@@ -241,12 +259,15 @@ def _cost(flops: float, *arrays) -> "pl.CostEstimate":
     )
 
 
-def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
-    """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot)."""
+def _nn_forward(x, y, y_valid, x_normals, tile, interpret, y_group=1):
+    """Fused forward: (h2o_sqd [F,P1], h2o_i, o2h_sqd [F,P2], o2h_i, o2h_dot).
+
+    y_group > 1: y is [G, P2, 3] shared by runs of y_group consecutive frames
+    (see _prep_operands); outputs stay per-frame."""
     if x_normals is None:
         x_normals = jnp.zeros_like(x)
     xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
-        x, y, y_valid, x_normals, tile
+        x, y, y_valid, x_normals, tile, y_group
     )
 
     n_tiles = P2p // tile
@@ -261,13 +282,20 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret):
     )
     _col = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
     _row = pl.BlockSpec((fb, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    # grouped mode: fb == 1, so the f grid index IS the frame index and the
+    # ya block row is its group f // y_group
+    _ya_spec = pl.BlockSpec(
+        (fb, 5, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
     h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            _ya_spec,
         ],
         out_specs=(_col, _col, _row, _row, _row),
         out_shape=out_shape,
@@ -332,19 +360,24 @@ def _nn_h2o_kernel(xa_ref, ya_ref, h2o_d_ref, h2o_i_ref):
             h2o_i_ref[b, 0, :] = jnp.where(upd, tile_arg, h2o_i_ref[b, 0, :])
 
 
-def _nn_h2o_forward(x, y, y_valid, tile, interpret):
-    """(h2o_sqdist [F,P1], h2o_idx [F,P1])."""
+def _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group=1):
+    """(h2o_sqdist [F,P1], h2o_idx [F,P1]). y_group: see _prep_operands."""
     xa, _, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
-        x, y, y_valid, None, tile
+        x, y, y_valid, None, tile, y_group
     )
     grid = (Fp // fb, P2p // tile)
     _col = pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
+    _ya_spec = pl.BlockSpec(
+        (fb, 5, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
     h2o_d, h2o_i = pl.pallas_call(
         _nn_h2o_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((fb, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 5, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            _ya_spec,
         ],
         out_specs=(_col, _col),
         out_shape=(
@@ -414,15 +447,19 @@ def _nn_h2o_bwd_kernel_nogy(xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref):
         gx_ref[b, 0] = xr * (owner * xt - y_at)  # per-tile partial
 
 
-def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y=True):
-    """Run _nn_h2o_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None)."""
+def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y=True, y_group=1):
+    """Run _nn_h2o_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None).
+    y_group > 1 (shared y, see _prep_operands) requires grad_y=False: gy
+    would need cross-frame accumulation into the shared cloud."""
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
 
     xT = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
-    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
+    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)  # [G, 3, P2]
     if P1p != P1:
         pad = P1p - P1
         xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
@@ -434,18 +471,26 @@ def _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y=True):
     h2o_i = h2o_i[:, None, :]
     xr = xr[:, None, :]
     fb = _frame_block(F, P1p, tile)
+    if y_group > 1:
+        fb = 1  # see _prep_operands
     Fp = _round_up(F, fb)
     if Fp != F:
         fpad = ((0, Fp - F), (0, 0), (0, 0))
         xT = jnp.pad(xT, fpad)
-        yT = jnp.pad(yT, fpad)
+        if y_group == 1:
+            yT = jnp.pad(yT, fpad)
         h2o_i = jnp.pad(h2o_i, fpad, constant_values=-1)
         xr = jnp.pad(xr, fpad)  # zero cotangents: pad frames contribute 0
 
     grid = (Fp // fb, P2p // tile)
+    _yt_spec = pl.BlockSpec(
+        (fb, 3, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = [
         pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+        _yt_spec,
         pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((fb, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -494,6 +539,7 @@ def point2point_h2o_pallas(
     tile: int = 2048,
     interpret: bool = False,
     grad_y: bool = True,
+    y_group: int = 1,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only (R's h2o feature/loss).
 
@@ -505,20 +551,25 @@ def point2point_h2o_pallas(
     differentiation path (every TaMF loss differentiates only the hand verts;
     the object clouds are batch-derived: models/refine_r.py:179-195,
     models/losses.py:120-136).
+
+    y_group > 1 is the SHARED-Y mode (requires grad_y=False): y is
+    [N // y_group, P2, 3], frame f searches cloud f // y_group.
     """
     if y_valid is None:
         y_valid = jnp.ones(y.shape[:2], bool)
-    return _p2h_core(x, y, y_valid, tile, interpret, grad_y)
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
+    return _p2h_core(x, y, y_valid, tile, interpret, grad_y, y_group)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _p2h_core(x, y, y_valid, tile, interpret, grad_y):
-    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret, grad_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _p2h_core(x, y, y_valid, tile, interpret, grad_y, y_group):
+    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret, grad_y, y_group)
     return out
 
 
-def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y):
-    h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret)
+def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y, y_group):
+    h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group)
     x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
 
     from jax.ad_checkpoint import checkpoint_name
@@ -528,12 +579,12 @@ def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y):
     return x2y_dist, (x, y, x2y_dist, h2o_i)
 
 
-def _p2h_bwd(tile, interpret, grad_y, residuals, cotangents):
+def _p2h_bwd(tile, interpret, grad_y, y_group, residuals, cotangents):
     import numpy as np
 
     x, y, x2y_dist, h2o_i = residuals
     xr = cotangents / jnp.maximum(x2y_dist, 1e-12)
-    gx, gy = _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y)
+    gx, gy = _nn_h2o_backward(x, y, h2o_i, xr, tile, interpret, grad_y, y_group)
     if gy is None:
         gy = jnp.zeros_like(y)
     g_valid = np.zeros(y.shape[:2], dtype=jax.dtypes.float0)
@@ -635,15 +686,18 @@ def _nn_bwd_kernel_nogy(xt_ref, yt_ref, h2oi_ref, o2hi_ref, xr_ref, yc_ref, gx_r
         gx_ref[b, 0] = gx + xr * (owner * xt - y_at)  # per-tile partial
 
 
-def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y=True):
-    """Run _nn_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None)."""
+def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y=True, y_group=1):
+    """Run _nn_bwd_kernel; returns (gx [F,P1,3], gy [F,P2,3] or None).
+    y_group > 1 (shared y, see _prep_operands) requires grad_y=False."""
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     F, P1, _ = x.shape
     P2 = y.shape[1]
     P1p = _round_up(P1, 128)
     P2p = _round_up(P2, tile)
 
     xT = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
-    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
+    yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)  # [G, 3, P2]
     if P1p != P1:
         pad = P1p - P1
         xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
@@ -660,11 +714,14 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y=True):
     xr = xr[:, None, :]
     yc = yc[:, None, :]
     fb = _frame_block(F, P1p, tile)
+    if y_group > 1:
+        fb = 1  # see _prep_operands
     Fp = _round_up(F, fb)
     if Fp != F:
         fpad = ((0, Fp - F), (0, 0), (0, 0))
         xT = jnp.pad(xT, fpad)
-        yT = jnp.pad(yT, fpad)
+        if y_group == 1:
+            yT = jnp.pad(yT, fpad)
         h2o_i = jnp.pad(h2o_i, fpad, constant_values=-1)
         o2h_i = jnp.pad(o2h_i, fpad)
         xr = jnp.pad(xr, fpad)  # zero cotangents: pad frames contribute 0
@@ -676,11 +733,16 @@ def _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y=True):
     _yrow = pl.BlockSpec((fb, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
     _gx_spec = pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM)
     _gy_spec = pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM)
+    _yt_spec = pl.BlockSpec(
+        (fb, 3, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
     common = dict(
         grid=grid,
         in_specs=[
             pl.BlockSpec((fb, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 3, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            _yt_spec,
             _xcol,
             _yrow,
             _xcol,
@@ -727,9 +789,16 @@ def point2point_signed_pallas(
     tile: int = 2048,
     interpret: bool = False,
     grad_y: bool = True,
+    y_group: int = 1,
 ):
     """Drop-in for core.geometry.point2point_signed backed by the fused kernel.
     Returns (y2x_signed [N,P2], x2y_signed [N,P1], yidx_near [N,P2]).
+
+    y_group > 1 is the SHARED-Y mode (requires grad_y=False): y is
+    [N // y_group, P2, 3] and frame f searches cloud f // y_group. Call sites
+    move the hand into each object's canonical frame (rigid invariance) so
+    the per-frame cloud operands — 8.1 GB at the bs64 2x8192 G train step,
+    an OOM — collapse by a factor of y_group. Outputs stay per-frame.
 
     Differentiable via a custom VJP: the nearest-neighbor INDICES are treated
     as constants of the backward pass (correct almost everywhere — exactly the
@@ -748,21 +817,25 @@ def point2point_signed_pallas(
         x_normals = jnp.zeros_like(x)
     if y_valid is None:
         y_valid = jnp.ones(y.shape[:2], bool)
+    if y_group > 1 and grad_y:
+        raise NotImplementedError("y_group > 1 requires grad_y=False")
     y2x_signed, x2y_signed, o2h_i = _p2ps_core(
-        x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y
+        x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y, y_group
     )
     return y2x_signed, x2y_signed, o2h_i
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _p2ps_core(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y):
-    out, _ = _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _p2ps_core(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y, y_group):
+    out, _ = _p2ps_fwd(
+        x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y, y_group
+    )
     return out
 
 
-def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y):
+def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y, y_group):
     h2o_d, h2o_i, o2h_d, o2h_i, o2h_dot = _nn_forward(
-        x, y, y_valid, x_normals if has_normals else None, tile, interpret
+        x, y, y_valid, x_normals if has_normals else None, tile, interpret, y_group
     )
     x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
     y2x_dist = jnp.sqrt(jnp.maximum(o2h_d, 0.0))
@@ -784,25 +857,34 @@ def _p2ps_fwd(x, y, x_normals, y_valid, tile, interpret, has_normals, grad_y):
         for t in (x2y_dist, y2x_dist, sign, h2o_i, o2h_i)
     )
 
+    # y_valid is per-GROUP [G, P2] in shared-y mode; lift it to per-frame rows
+    y_valid_f = (
+        y_valid
+        if y_group == 1
+        else jnp.repeat(y_valid, y_group, axis=0)  # fused into the where()
+    )
     if has_normals:
-        y2x_signed = jnp.where(y_valid, y2x_dist * sign, 0.0)
+        y2x_signed = jnp.where(y_valid_f, y2x_dist * sign, 0.0)
     else:
-        y2x_signed = jnp.where(y_valid, y2x_dist, 0.0)
+        y2x_signed = jnp.where(y_valid_f, y2x_dist, 0.0)
     x2y_signed = x2y_dist  # no y normals in any TaMF call site
     residuals = (x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid)
     return (y2x_signed, x2y_signed, o2h_i), residuals
 
 
-def _p2ps_bwd(tile, interpret, has_normals, grad_y, residuals, cotangents):
+def _p2ps_bwd(tile, interpret, has_normals, grad_y, y_group, residuals, cotangents):
     import numpy as np
 
     x, y, x2y_dist, y2x_dist, sign, h2o_i, o2h_i, y_valid = residuals
     g_y2x, g_x2y, _ = cotangents  # no gradient through the int index output
 
+    y_valid_f = y_valid if y_group == 1 else jnp.repeat(y_valid, y_group, axis=0)
     # cotangent rows pre-divided by distances (see _nn_bwd_kernel docstring)
     xr = g_x2y / jnp.maximum(x2y_dist, 1e-12)
-    yc = jnp.where(y_valid, sign, 0.0) * g_y2x / jnp.maximum(y2x_dist, 1e-12)
-    gx, gy = _nn_backward(x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y)
+    yc = jnp.where(y_valid_f, sign, 0.0) * g_y2x / jnp.maximum(y2x_dist, 1e-12)
+    gx, gy = _nn_backward(
+        x, y, h2o_i, o2h_i, xr, yc, tile, interpret, grad_y, y_group
+    )
     if gy is None:
         gy = jnp.zeros_like(y)
 
