@@ -280,6 +280,19 @@ def point2point_h2o(
     return x2y
 
 
+def _safe_sqrt(d: jax.Array) -> jax.Array:
+    """NaN-safe sqrt for squared distances. d/dx sqrt(x) is inf at 0, and
+    0-cotangent x inf = NaN under AD — reachable since the shared-Y mode:
+    collate pads obj_points with ZEROS and the canonical-frame hand verts of
+    a padded object slot are exactly 0 too (R=0, t=0), so d == 0.0 bit-exact
+    and the loss's obj_mask multiply (0 cotangent) turns the whole grad NaN.
+    The kernel backwards already guard (cotangent / max(dist, 1e-12) —
+    chamfer_pallas.py:585, chamfer_cluster.py:768,1132); this is the XLA-path
+    equivalent: value-exact, zero subgradient at d <= 0."""
+    pos = d > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d, 1.0)), 0.0)
+
+
 def _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk):
 
     def single(xi, yi, xn, yn, yv):
@@ -291,8 +304,8 @@ def _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk):
         x2y = xi - x_near
         y2x = yi - y_near
 
-        x2y_dist = jnp.sqrt(jnp.maximum(d_x2y, 0.0))
-        y2x_dist = jnp.sqrt(jnp.maximum(d_y2x, 0.0))
+        x2y_dist = _safe_sqrt(d_x2y)
+        y2x_dist = _safe_sqrt(d_y2x)
 
         if xn is not None:
             nn = jnp.take(xn, idx_y2x, axis=0)
@@ -322,6 +335,6 @@ def min_cdist(hv: jax.Array, pc: jax.Array, chunk: int = 4096) -> jax.Array:
 
     def single(h, p):
         d, _ = nearest_neighbor(h, p, chunk=chunk)
-        return jnp.sqrt(jnp.maximum(jnp.min(d), 0.0))
+        return _safe_sqrt(jnp.min(d))
 
     return jax.vmap(single)(hv, pc)

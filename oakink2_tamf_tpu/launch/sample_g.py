@@ -21,7 +21,7 @@ import jax
 
 from ..core import diffusion as D
 from ..parallel import train as PT
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_local_mesh, replicate, shard_batch
 from ..runtime.ckpt import load_checkpoint
 from . import common, param
 from .train_g import build_model
@@ -45,7 +45,9 @@ def main(argv=None):
     )
     sample_cfg = reg.select("sample")
     split = sample_cfg.get("split", "test")
-    mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
+    # LOCAL mesh: sampler processes shard by segment (resolve_shard) and run
+    # independent jits — a global mesh would deadlock (parallel/mesh.py)
+    mesh = make_local_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
 
     dataset = common.build_dataset(reg, split)
     clip = common.build_clip(reg)

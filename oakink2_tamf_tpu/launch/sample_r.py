@@ -28,7 +28,7 @@ from ..core import mano as M
 from ..data.adaptors import GaussianPerturbSampleAdaptor, GeneratedPoseReprSampleAdaptor
 from ..data.collate import SegmentCollate
 from ..models.refine_r import refine_forward, stack_mano_models
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_local_mesh
 from ..runtime.ckpt import load_checkpoint
 from . import common, param
 from .train_r import build_refine_net
@@ -52,7 +52,9 @@ def main(argv=None):
     )
     sample_cfg = reg.select("sample")
     split = sample_cfg.get("split", "test")
-    mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
+    # LOCAL mesh: sampler processes shard by segment (resolve_shard) and run
+    # independent jits — a global mesh would deadlock (parallel/mesh.py)
+    mesh = make_local_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
 
     base = common.build_dataset(reg, split)
     try:
@@ -107,7 +109,7 @@ def main(argv=None):
             params = load_checkpoint(fp, params, strict=False)
             _logger.info("loaded refine model from %s", fp)
 
-    from ..parallel.mesh import batch_sharding, replicate, replicated
+    from ..parallel.mesh import batch_sharding, replicate, replicated, shard_batch
 
     fwd = jax.jit(
         lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False),
@@ -136,7 +138,9 @@ def main(argv=None):
                 lambda a: np.concatenate([a, np.repeat(a[-1:], bs - n_real, axis=0)], axis=0),
                 jax.tree.map(np.asarray, dbatch),
             )
-        out = fwd(params, dbatch)
+        # explicit device_put: raw numpy + in_shardings is rejected under
+        # jax.distributed even on a fully-addressable local mesh
+        out = fwd(params, shard_batch(dbatch, mesh))
         refined = np.asarray(jax.device_get(out["refine_pose_repr"]))[:n_real]
         verts = np.asarray(jax.device_get(out["refine_hand_verts"]))[:n_real]
         joints = np.asarray(jax.device_get(out["refine_hand_joints"]))[:n_real]

@@ -27,6 +27,19 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_local_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data mesh over THIS PROCESS's devices only.
+
+    The samplers (sample_g/sample_r) shard work by SEGMENT across processes
+    (resolve_shard striding — the reference's independent worker processes,
+    script/sample.py / sample_refine.py): each process runs its own batches
+    through its own jit, so its mesh must span only addressable devices. A
+    global mesh there would deadlock — a multi-process SPMD program requires
+    every process to execute the same computation on the same global arrays,
+    and the sampler processes intentionally feed different data."""
+    return make_mesh(n_devices, devices=jax.local_devices())
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -37,9 +50,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    """Place a host batch dict onto the mesh, sharded on the leading axis.
+
+    Single-process: a plain device_put. Multi-process: each host's loader
+    yields its OWN stripe of the data (DataLoader strides by process_index —
+    DistributedSampler semantics, reference launch/train.py:394-432), so the
+    per-host batch is this host's SHARD of a global batch of
+    process_count * batch_size rows; `make_array_from_process_local_data`
+    assembles the global array from the per-host shards. A plain device_put
+    would be wrong twice over: jax asserts value-equality across processes
+    for non-addressable shardings (verified: it raises "passed to device_put
+    is not the same on each process" under a 2-process CPU mesh), and even
+    without the check each host's rows outside its addressable slice would be
+    silently dropped. The 1-D mesh orders devices process-major
+    (jax.devices()), so host w's contiguous local rows land at global rows
+    [w*bs, (w+1)*bs) — exactly its addressable shards when bs divides evenly
+    by local device count."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, s), batch)
+    if s.is_fully_addressable:  # single-process, or a make_local_mesh sampler
+        return jax.tree.map(lambda a: jax.device_put(a, s), batch)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(s, np.asarray(a)), batch
+    )
 
 
 def replicate(tree, mesh: Mesh):

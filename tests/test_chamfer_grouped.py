@@ -113,3 +113,47 @@ def test_grouped_cluster_h2o_matches_perframe():
     ovf_g = CC.h2o_cluster_overflow(x, yg, y_valid=yv, k_cells=4, y_group=L)
     ovf_f = CC.h2o_cluster_overflow(x, yf, y_valid=yvf, k_cells=4)
     np.testing.assert_array_equal(np.asarray(ovf_g), np.asarray(ovf_f))
+
+
+def test_padded_slot_zero_distance_grad_finite():
+    """Regression: collate pads obj_points with ZEROS and a padded slot's
+    canonical-frame hand verts are exactly 0 too (zero traj -> R=0, t=0), so
+    the per-object NN hits d == 0.0 bit-exact. sqrt'(0) = inf and the loss's
+    obj_mask multiply (0 cotangent) made the WHOLE grad NaN through the XLA
+    fallback (one AdamW step -> every param NaN, masked downstream by
+    nan_to_num). _safe_sqrt pins the zero subgradient."""
+    from oakink2_tamf_tpu.models.refine_r import multi_object_h2o_dist
+
+    rng = np.random.default_rng(3)
+    bs, L, nobj, P = 2, 3, 3, 32
+    verts = jnp.asarray(rng.normal(size=(bs, L, 778, 3)).astype(np.float32))
+    normals = jnp.asarray(rng.normal(size=(bs, L, 778, 3)).astype(np.float32))
+    traj = np.zeros((bs, nobj, L, 9), np.float32)
+    traj[:, :2, :, 3] = 1.0
+    traj[:, :2, :, 7] = 1.0  # identity rot6d for the 2 real slots
+    pts = rng.normal(size=(bs, nobj, P, 3)).astype(np.float32)
+    pts[:, 2] = 0.0  # padded slot: ZERO cloud (collate padding)
+    mask = jnp.asarray(np.array([[1, 1, 0], [1, 0, 0]], bool))
+
+    def f(v):
+        return jnp.sum(
+            multi_object_h2o_dist(v, normals, jnp.asarray(traj), jnp.asarray(pts), mask, chunk=32)
+        )
+
+    val = f(verts)
+    g = jax.grad(f)(verts)
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.isfinite(g).all())
+
+    # the G-side per-object signed path shares the trigger
+    from oakink2_tamf_tpu.models.losses import _per_object_signed
+    from oakink2_tamf_tpu.core import transforms as T
+
+    transf = T.tslrot6d_to_transf(jnp.asarray(traj))
+
+    def fg(v):
+        o2h, h2o = _per_object_signed(v, normals, transf, jnp.asarray(pts), 32)
+        m = mask.astype(jnp.float32)[:, :, None, None]
+        return jnp.sum(o2h * m) + jnp.sum(h2o * m)
+
+    assert bool(jnp.isfinite(jax.grad(fg)(verts)).all())
