@@ -13,71 +13,16 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn
 
 from oakink2_tamf_tpu.interop import torch_port as TP
+from oakink2_tamf_tpu.interop.torch_replica import TorchRefG, TorchRefR
 from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
 
 D, HEADS, FF, LAYERS = 32, 4, 64, 2
 L, BS, NOBJ = 10, 3, 2
 
 
-def pe_table(d, max_len=5000):
-    pe = np.zeros((max_len, d), np.float32)
-    pos = np.arange(max_len, dtype=np.float32)[:, None]
-    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * (-np.log(10000.0) / d))
-    pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
-    return torch.from_numpy(pe)
-
-
-class TorchRefG(tnn.Module):
-    """Reference InterationSegmentMDM math (mdm.py:134-174), batch-first,
-    text_emb injected directly (CLIP runs outside), same state_dict keys."""
-
-    def __init__(self):
-        super().__init__()
-        self.hand_shape_process = tnn.Module()
-        self.hand_shape_process.shape_embed = tnn.Linear(10, D)
-        self.obj_embed_process = tnn.Module()
-        self.obj_embed_process.embedding = tnn.Linear(768, D)
-        self.input_process = tnn.Module()
-        self.input_process.poseEmbedding = tnn.Linear(99, D)
-        self.obj_input_process = tnn.Module()
-        self.obj_input_process.poseEmbedding = tnn.Linear(9, D)
-        self.input_merge = tnn.Sequential(tnn.Linear(2 * D, D), tnn.SiLU(), tnn.Linear(D, D))
-        self.embed_timestep = tnn.Module()
-        self.embed_timestep.time_embed = tnn.Sequential(tnn.Linear(D, D), tnn.SiLU(), tnn.Linear(D, D))
-        self.embed_text = tnn.Linear(512, D)
-        layer = tnn.TransformerEncoderLayer(
-            d_model=D, nhead=HEADS, dim_feedforward=FF, dropout=0.0,
-            activation="gelu", batch_first=True,
-        )
-        self.seqTransEncoder = tnn.TransformerEncoder(layer, num_layers=LAYERS)
-        self.output_process = tnn.Module()
-        self.output_process.poseFinal = tnn.Linear(D, 99)
-        self.register_buffer("pe", pe_table(D))
-
-    def forward(self, x, t, text_emb, hand_side, shape, obj_traj, obj_embedding):
-        emb_t = self.embed_timestep.time_embed(self.pe[t])  # [bs, D]
-        emb_text = self.embed_text(text_emb)
-        e0 = torch.zeros(D)
-        e0[0] = 1.0
-        emb_hs = hand_side.float()[:, None] * e0[None]
-        emb_shape = self.hand_shape_process.shape_embed(shape.mean(dim=1))
-        emb_obj = self.obj_embed_process.embedding(obj_embedding.mean(dim=1))
-        emb = torch.stack([emb_t, emb_text, emb_hs, emb_shape, emb_obj], dim=1)  # [bs,5,D]
-
-        hand = self.input_process.poseEmbedding(x)  # [bs, L, D]
-        obj = self.obj_input_process.poseEmbedding(obj_traj).mean(dim=1)  # [bs, L, D]
-        merged = self.input_merge(torch.cat([hand, obj], dim=-1))
-
-        seq = torch.cat([emb, merged], dim=1)
-        seq = seq + self.pe[: seq.shape[1]][None]
-        out = self.seqTransEncoder(seq)[:, 5:]
-        return self.output_process.poseFinal(out)
-
-
 def test_g_checkpoint_port_end_to_end():
     torch.manual_seed(0)
-    ref = TorchRefG().eval()
+    ref = TorchRefG(d=D, heads=HEADS, ff=FF, layers=LAYERS).eval()
     rng = np.random.default_rng(0)
 
     x = rng.normal(size=(BS, L, 99)).astype(np.float32)
@@ -113,57 +58,11 @@ def test_g_checkpoint_port_end_to_end():
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
 
 
-class TorchRefR(tnn.Module):
-    """Reference SegmentRefineModel NETWORK math (segment_refine_model.py:
-    71-97, 170-216): 3 cond tokens (no text/timestep), 3-stream input merge
-    with the h2o feature, residual output — same state_dict key names."""
-
-    def __init__(self):
-        super().__init__()
-        self.hand_shape_process = tnn.Module()
-        self.hand_shape_process.shape_embed = tnn.Linear(10, D)
-        self.obj_embed_process = tnn.Module()
-        self.obj_embed_process.embedding = tnn.Linear(768, D)
-        self.input_process = tnn.Module()
-        self.input_process.poseEmbedding = tnn.Linear(99, D)
-        self.obj_input_process = tnn.Module()
-        self.obj_input_process.poseEmbedding = tnn.Linear(9, D)
-        self.h2o_dist_input_process = tnn.Module()
-        self.h2o_dist_input_process.poseEmbedding = tnn.Linear(778, D)
-        self.input_merge = tnn.Sequential(tnn.Linear(3 * D, D), tnn.SiLU(), tnn.Linear(D, D))
-        layer = tnn.TransformerEncoderLayer(
-            d_model=D, nhead=HEADS, dim_feedforward=FF, dropout=0.0,
-            activation="gelu", batch_first=True,
-        )
-        self.seqTransEncoder = tnn.TransformerEncoder(layer, num_layers=LAYERS)
-        self.output_process = tnn.Module()
-        self.output_process.poseFinal = tnn.Linear(D, 99)
-        self.register_buffer("pe", pe_table(D))
-
-    def forward(self, x_in, h2o, hand_side, shape, obj_traj, obj_embedding):
-        e0 = torch.zeros(D)
-        e0[0] = 1.0
-        emb_hs = hand_side.float()[:, None] * e0[None]
-        emb_shape = self.hand_shape_process.shape_embed(shape.mean(dim=1))
-        emb_obj = self.obj_embed_process.embedding(obj_embedding.mean(dim=1))
-        emb = torch.stack([emb_hs, emb_shape, emb_obj], dim=1)  # [bs, 3, D]
-
-        hand = self.input_process.poseEmbedding(x_in)
-        obj = self.obj_input_process.poseEmbedding(obj_traj).mean(dim=1)
-        h2o_e = self.h2o_dist_input_process.poseEmbedding(h2o)
-        merged = self.input_merge(torch.cat([hand, obj, h2o_e], dim=-1))
-
-        seq = torch.cat([emb, merged], dim=1)
-        seq = seq + self.pe[: seq.shape[1]][None]
-        out = self.seqTransEncoder(seq)[:, 3:]
-        return x_in + self.output_process.poseFinal(out)  # residual (ref :216)
-
-
 def test_r_checkpoint_port_end_to_end():
     from oakink2_tamf_tpu.models.refine_r import RefineConfig, SegmentRefineNet
 
     torch.manual_seed(1)
-    ref = TorchRefR().eval()
+    ref = TorchRefR(d=D, heads=HEADS, ff=FF, layers=LAYERS).eval()
     rng = np.random.default_rng(2)
 
     x_in = rng.normal(size=(BS, L, 99)).astype(np.float32)

@@ -1,0 +1,89 @@
+"""scripts/verify_parity.py harness coverage: the real-checkpoint checks must
+run green against replica-generated checkpoints (the same code path a real
+reference .pt takes: state_dict load -> dim inference -> convert -> compare)."""
+
+import argparse
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_harness():
+    spec = importlib.util.spec_from_file_location(
+        "verify_parity", os.path.join(REPO, "scripts", "verify_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return _load_harness()
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    from oakink2_tamf_tpu.interop.torch_replica import (
+        TorchClipText, TorchRefEncoder, TorchRefG, TorchRefR,
+    )
+
+    d = tmp_path_factory.mktemp("ckpts")
+    torch.manual_seed(0)
+    torch.save(TorchRefG(d=32, heads=4, ff=64, layers=2).state_dict(), d / "g.pt")
+    torch.save(TorchRefR(d=32, heads=4, ff=64, layers=2).state_dict(), d / "r.pt")
+    torch.save(TorchRefEncoder(d=32, heads=4, ff=64, layers=2).state_dict(), d / "e.pt")
+    torch.save(
+        TorchClipText(vocab=512, ctx=77, d=64, heads=1, layers=2, embed_dim=32).state_dict(),
+        d / "clip.pt",
+    )
+    return d
+
+
+def _args(ckpts, **kw):
+    base = dict(
+        g_ckpt=str(ckpts / "g.pt"), r_ckpt=str(ckpts / "r.pt"),
+        encoder_ckpt=str(ckpts / "e.pt"), clip_ckpt=str(ckpts / "clip.pt"),
+        bpe=None, mano_path=None, reference_src="/root/reference/src",
+        chain_steps=5, heads=0,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_forward_checks_pass(harness, ckpts):
+    a = _args(ckpts)
+    assert "max|Δ|" in harness.check_g_forward(a)
+    assert "max|Δ|" in harness.check_r_forward(a)
+    assert "max|Δ|" in harness.check_encoder(a)
+    assert "max|Δ|" in harness.check_clip(a)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"), reason="reference src unavailable"
+)
+def test_g_chain_check_passes(harness, ckpts):
+    out = harness.check_g_chain(_args(ckpts))
+    assert "zero-noise chain" in out
+
+
+def test_missing_assets_skip(harness, ckpts):
+    a = _args(ckpts, g_ckpt=None)
+    with pytest.raises(harness.SkipCheck):
+        harness.check_g_forward(a)
+    with pytest.raises(harness.SkipCheck):
+        harness.check_g_chain(a)
+
+
+def test_dim_inference(ckpts):
+    from oakink2_tamf_tpu.interop.torch_replica import infer_trunk_dims
+
+    sd = {k: v for k, v in torch.load(ckpts / "g.pt", weights_only=False).items()}
+    dims = infer_trunk_dims(sd)
+    assert dims == {"d": 32, "ff": 64, "layers": 2, "heads": 4}
