@@ -451,28 +451,24 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
     mano_dt = timeit(lambda: exe(batch["pose_repr"]))
     del exe
 
-    # chamfer: pred signed fwd+bwd (grad wrt verts+normals) + GT signed fwd
+    # chamfer: pred signed fwd+bwd (grad wrt verts) + GT signed fwd, via the
+    # shared-Y path the real step uses (hand moves to canonical object frames)
     verts, _, normals = batch_recover_mano(
         mano_stack, jnp.asarray(batch["pose_repr"]), batch["shape"], batch["hand_side"]
     )
     transf = T.tslrot6d_to_transf(jnp.asarray(batch["obj_traj"]))
-    ptsT = jnp.swapaxes(jnp.asarray(batch["obj_points"]), -1, -2)
-    movedT = (
-        jnp.einsum("bolck,bokp->bolcp", transf[..., :3, :3], ptsT,
-                   precision=jax.lax.Precision.HIGHEST)
-        + transf[..., :3, 3][..., None]
-    )
+    obj_points = jnp.asarray(batch["obj_points"])
 
-    def chamfer_probe(v, n, mT):
+    def chamfer_probe(v, n, tf, pts):
         def f(vv):
-            o2h, h2o = LL._per_object_signed(vv, n, mT, chunk)
+            o2h, h2o = LL._per_object_signed(vv, n, tf, pts, chunk)
             return jnp.sum(jnp.abs(o2h)) + jnp.sum(jnp.abs(h2o))
         g = jax.grad(f)(v)
-        o2h_g, h2o_g = LL._per_object_signed(v, n, mT, chunk)  # GT-side fwd
+        o2h_g, h2o_g = LL._per_object_signed(v, n, tf, pts, chunk)  # GT-side fwd
         return jnp.sum(g) + jnp.sum(o2h_g) + jnp.sum(h2o_g)
 
-    exe = jax.jit(chamfer_probe).lower(verts, normals, movedT).compile()
-    chamfer_dt = timeit(lambda: exe(verts, normals, movedT))
+    exe = jax.jit(chamfer_probe).lower(verts, normals, transf, obj_points).compile()
+    chamfer_dt = timeit(lambda: exe(verts, normals, transf, obj_points))
     del exe
 
     budget = {

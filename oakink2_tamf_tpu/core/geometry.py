@@ -249,6 +249,10 @@ def point2point_h2o(
     ([.., 3]-minor arrays are tile-padded 42x on TPU)."""
     if y_group > 1 and grad_y:
         raise NotImplementedError("y_group > 1 requires grad_y=False")
+    if backend == "exact":
+        # strongest exact route available on this platform (all-pairs Pallas
+        # on TPU, XLA elsewhere) — the cluster overflow fallbacks use this
+        backend = "pallas" if _on_tpu() else "xla"
     p2 = y.shape[1] if y is not None else yT.shape[2]
     use_cluster = backend == "cluster" or (
         backend == "auto" and _on_tpu() and p2 >= 4096
@@ -278,6 +282,40 @@ def point2point_h2o(
         y = jax.lax.stop_gradient(y)  # XLA path: same zero-gy contract
     _, x2y, _ = _point2point_signed_xla(x, y, None, None, y_valid, chunk)
     return x2y
+
+
+def point2point_h2o_overflow(
+    x: jax.Array,
+    y: jax.Array | None = None,
+    y_valid: jax.Array | None = None,
+    chunk: int = 2048,
+    backend: str = "auto",
+    *,
+    yT: jax.Array | None = None,
+    x_perm=None,
+    k_cells: int | None = None,
+    y_group: int = 1,
+) -> jax.Array:
+    """Per-frame overflow counts [N] i32 for the EXACT routing decision
+    point2point_h2o would make on these operands: zero everywhere PROVES the
+    cluster-pruned result is exact; all-zeros trivially when the route is an
+    exact kernel (all-pairs Pallas / XLA). Cheap — recomputes only the
+    candidate-selection stage, no NN kernel. Callers that PERSIST h2o values
+    (data/target_cache) verify with this and fall back to the exact kernel on
+    overflow; in-step consumers can monitor it at val time."""
+    p2 = y.shape[1] if y is not None else yT.shape[2]
+    use_cluster = backend == "cluster" or (
+        backend == "auto" and _on_tpu() and p2 >= 4096
+    )
+    n = x.shape[0]
+    if not use_cluster:
+        return jnp.zeros((n,), jnp.int32)
+    from ..ops import chamfer_cluster as CC
+
+    kw = {} if k_cells is None else {"k_cells": k_cells}
+    return CC.h2o_cluster_overflow(
+        x, y, y_valid, yT=yT, x_perm=x_perm, y_group=y_group, **kw
+    )
 
 
 def _safe_sqrt(d: jax.Array) -> jax.Array:

@@ -52,6 +52,7 @@ class TargetH2OCache:
         self._mem: dict[int, np.ndarray] = {}
         self._batched_fn = None
         self._single_fn = None
+        self._exact_fn = None  # all-pairs fallback for overflowed segments
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
             self._check_fingerprint()
@@ -165,21 +166,65 @@ class TargetH2OCache:
 
         def h2o_fn(pose_repr, shape, hand_side, obj_traj, obj_points, obj_mask):
             verts, _, normals = batch_recover_mano(mano_stack, pose_repr, shape, hand_side)
-            return multi_object_h2o_dist(
+            h2o = multi_object_h2o_dist(
                 verts, normals, obj_traj, obj_points, obj_mask, chunk=chunk,
                 x_perm=x_perm,
             )
+            # exactness certificate for the auto-routed cluster kernel (zero
+            # off the cluster route; stage-1 only — no NN kernel). PERSISTED
+            # values must be provably exact: any overflowed sample is
+            # recomputed with the exact all-pairs kernel in _run.
+            from ..models.refine_r import multi_object_h2o_overflow
+
+            ovf = multi_object_h2o_overflow(
+                verts, obj_traj, obj_points, obj_mask, chunk=chunk, x_perm=x_perm
+            )
+            return h2o, ovf
 
         return jax.jit(h2o_fn)
+
+    def _make_exact_fn(self):
+        import jax
+
+        from ..models.refine_r import batch_recover_mano, multi_object_h2o_dist
+
+        mano_stack, chunk = self.mano_stack, self.chunk
+
+        def h2o_exact(pose_repr, shape, hand_side, obj_traj, obj_points, obj_mask):
+            verts, _, normals = batch_recover_mano(mano_stack, pose_repr, shape, hand_side)
+            return multi_object_h2o_dist(
+                verts, normals, obj_traj, obj_points, obj_mask, chunk=chunk,
+                backend="exact",
+            )
+
+        return jax.jit(h2o_exact)
 
     def _run(self, fn, batch) -> np.ndarray:
         import jax
 
-        out = fn(
+        args = (
             batch["pose_repr"], batch["shape"], batch["hand_side"],
             batch["obj_traj"], batch["obj_points"], batch["obj_mask"],
         )
-        return np.asarray(jax.device_get(out), np.float32)
+        h2o, ovf = fn(*args)
+        # np.array (copy): device_get can hand back a read-only view, and the
+        # overflow fallback below writes into the bad rows
+        h2o = np.array(jax.device_get(h2o), np.float32)
+        bad = np.asarray(jax.device_get(ovf)) > 0
+        if bad.any():
+            # the certificate could not prove cluster exactness for these
+            # samples (geometry outside the tuned candidate budget) — never
+            # persist an unproven value: recompute them exactly
+            _logger.warning(
+                "target_h2o: cluster NN overflow on %d/%d segments; "
+                "recomputing those with the exact all-pairs kernel",
+                int(bad.sum()), len(bad),
+            )
+            if self._exact_fn is None:
+                self._exact_fn = self._make_exact_fn()
+            exact = np.asarray(jax.device_get(self._exact_fn(*args)), np.float32)
+            h2o[bad] = exact[bad]
+        return h2o
 
     def _compute_single(self, data: dict[str, Any]) -> np.ndarray:
         if self._single_fn is None:

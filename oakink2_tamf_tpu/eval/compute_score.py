@@ -155,13 +155,10 @@ def run_fid(reg, dataset, save_dicts, mano_stack) -> dict:
     from ..runtime.ckpt import load_checkpoint
 
     enc_fp = reg.select("score").get("encoder_filepath")
-    if str(enc_fp or "").endswith(".pt"):
-        # ported reference checkpoint: force the exact erf gelu it trained under
-        from ..interop.torch_port import port_activation
+    # a ported reference `.pt` forces the exact erf gelu it trained under
+    from ..interop.torch_port import activation_for_checkpoint
 
-        model = build_encoder(reg, activation=port_activation(reg))
-    else:
-        model = build_encoder(reg)
+    model = build_encoder(reg, activation=activation_for_checkpoint(reg, enc_fp))
     collate = SegmentCollate(
         max_nobj=int(reg.select("data").get("max_nobj", 4)),
         n_obj_points=int(reg.select("data").get("n_obj_points", 2048)),

@@ -41,6 +41,17 @@ _logger = logging.getLogger(__name__)
 PORT_ACTIVATION = "gelu_exact"
 
 
+def activation_for_checkpoint(reg, filepath) -> str | None:
+    """Activation override for a checkpoint path: PORT_ACTIVATION when it is
+    a ported torch `.pt` (with port_activation's loud warning on config
+    mismatch), None otherwise (build_* then uses the config activation).
+    The single chokepoint for every port path — a hand-rolled `.endswith`
+    check at a new call site is how the gelu_exact forcing gets missed."""
+    if str(filepath or "").endswith(".pt"):
+        return port_activation(reg)
+    return None
+
+
 def port_activation(reg) -> str:
     """Activation to build a net with when its params come from a ported torch
     checkpoint: always PORT_ACTIVATION, with a loud warning if the run config

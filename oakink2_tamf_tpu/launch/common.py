@@ -251,6 +251,8 @@ DEVICE_BATCH_KEYS = (
     "obj_points",
     "action_label_id",
     "target_h2o",
+    "gt_o2h",
+    "gt_h2o",
 )
 
 

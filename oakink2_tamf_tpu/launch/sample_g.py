@@ -54,13 +54,11 @@ def main(argv=None):
 
     # a `.pt` model_filepath is a ported REFERENCE checkpoint: the net must run
     # the exact erf gelu the torch weights were trained under
-    _port_pt = str(sample_cfg.get("model_filepath") or "").endswith(".pt")
-    if _port_pt:
-        from ..interop.torch_port import port_activation
+    from ..interop.torch_port import activation_for_checkpoint
 
-        model = build_model(reg, activation=port_activation(reg))
-    else:
-        model = build_model(reg)
+    model = build_model(
+        reg, activation=activation_for_checkpoint(reg, sample_cfg.get("model_filepath"))
+    )
     dcfg = reg.select("diffusion")
     sched = D.tamf_schedule(
         int(dcfg.get("steps", 1000)), str(dcfg.get("noise_schedule", "cosine")),

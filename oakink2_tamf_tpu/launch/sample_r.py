@@ -69,12 +69,11 @@ def main(argv=None):
 
     # a `.pt` model_filepath is a ported REFERENCE checkpoint: the net must run
     # the exact erf gelu the torch weights were trained under
-    if str(sample_cfg.get("model_filepath") or "").endswith(".pt"):
-        from ..interop.torch_port import port_activation
+    from ..interop.torch_port import activation_for_checkpoint
 
-        net = build_refine_net(reg, activation=port_activation(reg))
-    else:
-        net = build_refine_net(reg)
+    net = build_refine_net(
+        reg, activation=activation_for_checkpoint(reg, sample_cfg.get("model_filepath"))
+    )
     mano_path = reg.select("mano").get("mano_path") or None
     mano_rh = M.get_mano_model(mano_path, "right")
     mano_lh = M.get_mano_model(mano_path, "left")

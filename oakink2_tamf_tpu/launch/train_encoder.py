@@ -108,6 +108,21 @@ def main(argv=None):
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(0)
     eval_fn = None  # built lazily on the first val pass (one compile)
+    # eval datasets/loaders built ONCE, on EVERY process: eval is a
+    # global-mesh SPMD computation (each process feeds its loader stripe;
+    # coordinator-only execution would deadlock multi-process runs), and
+    # rebuilding per val pass re-reads cache_dict pickles every epoch
+    eval_loaders = {}
+    if int(train_cfg.get("val_freq", 0) or 0):
+        for split in ("val", "test"):
+            try:
+                eval_base = common.build_dataset(reg, split)
+            except (ValueError, KeyError):
+                continue
+            eval_ds = ActionRecognitionAdapter(IdentitySampleAdaptor(eval_base))
+            ld = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+            if len(ld):
+                eval_loaders[split] = ld
     global_step = 0
     for epoch_id in range(num_epoch):
         loader.set_epoch(epoch_id)
@@ -135,7 +150,7 @@ def main(argv=None):
         # train_encoder.py:580-640 evaluates the FULL held-out split;
         # train.eval_max_batches (0 = full) caps it for smoke configs
         val_freq = int(train_cfg.get("val_freq", 0) or 0)
-        if val_freq and is_coordinator() and (
+        if val_freq and (
             epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
             if eval_fn is None:
@@ -145,13 +160,7 @@ def main(argv=None):
                     )[1]
                 )
             emax = int(train_cfg.get("eval_max_batches", 0) or 0)
-            for split in ("val", "test"):
-                try:
-                    eval_base = common.build_dataset(reg, split)
-                except (ValueError, KeyError):
-                    continue
-                eval_ds = ActionRecognitionAdapter(IdentitySampleAdaptor(eval_base))
-                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+            for split, eval_loader in eval_loaders.items():
                 accum: dict[str, list] = {}
                 for bi, b in enumerate(eval_loader):
                     if emax and bi >= emax:
@@ -161,7 +170,7 @@ def main(argv=None):
                     m = eval_fn(state.params, db["pose_repr"], c, db["action_label_id"])
                     for mk, mv in m.items():
                         accum.setdefault(mk, []).append(float(jax.device_get(mv)))
-                if accum:
+                if accum and is_coordinator():
                     means = {mk: float(np.mean(mv)) for mk, mv in accum.items()}
                     _logger.info(
                         "%s epoch %04d | ce %.4f acc %.3f", split, epoch_id,

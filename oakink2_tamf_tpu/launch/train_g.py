@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..core import diffusion as D
 from ..core import mano as M
@@ -67,6 +68,11 @@ def evaluate_g(sampler, extra_fn, params, loader, clip, mesh, key, max_batches: 
     from ..parallel.mesh import replicate as _rep, shard_batch as _shard
 
     params_r = _rep(params, mesh)
+    # jitted so it runs on the GLOBAL batch arrays: an eager masked_l2 would
+    # mix the global `sample` with process-local device_put operands, which
+    # multi-process jax rejects (and the jit's reduced output is replicated,
+    # so every process can fetch it)
+    mse_fn = jax.jit(lambda x, s, m: jnp.mean(D.masked_l2(x, s, m)))
     acc: dict[str, list] = {}
     n = 0
     for batch in loader:
@@ -77,10 +83,8 @@ def evaluate_g(sampler, extra_fn, params, loader, clip, mesh, key, max_batches: 
         sb = _shard(db, mesh)
         key, k = jax.random.split(key)
         sample = sampler(params_r, sb, k)
-        mse = D.masked_l2(
-            jax.device_put(db["pose_repr"]), sample, jax.device_put(db["mask"])
-        )
-        acc.setdefault("sample_mse", []).append(float(np.mean(jax.device_get(mse))))
+        mse = mse_fn(sb["pose_repr"], sample, sb["mask"])
+        acc.setdefault("sample_mse", []).append(float(jax.device_get(mse)))
         terms = extra_fn(sample, sb)
         for tk, tv in terms.items():
             a = jax.device_get(tv)
@@ -239,7 +243,10 @@ def main(argv=None):
     eval_loaders = {}
     eval_sampler = None
     eval_extra_fn = None
-    if int(train_cfg.get("val_freq", 0) or 0) and is_coordinator():
+    # built on EVERY process: eval is a global-mesh SPMD computation (each
+    # process feeds its loader stripe; a coordinator-only eval would deadlock
+    # multi-process runs at the first collective and fork the RNG stream)
+    if int(train_cfg.get("val_freq", 0) or 0):
         data_cfg = reg.select("data")
         for split in ("val", "test"):
             split_cfg = reg.select(split)
@@ -318,8 +325,10 @@ def main(argv=None):
             _logger.info("saved %s", path)
 
         val_freq = int(train_cfg.get("val_freq", 0) or 0)
-        if val_freq and is_coordinator() and (
-            # first/periodic/last epochs (ref launch/train.py:580-581)
+        if val_freq and (
+            # first/periodic/last epochs (ref launch/train.py:580-581).
+            # Runs on EVERY process (global-mesh SPMD; the reference's rank-0
+            # eval maps to gating the LOGGING, not the computation)
             epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
             for split, eval_loader in eval_loaders.items():
@@ -328,6 +337,8 @@ def main(argv=None):
                     eval_sampler, eval_extra_fn, state.params, eval_loader, clip, mesh, k_eval,
                     max_batches=int(train_cfg.get("eval_max_batches", 0) or 0),
                 )
+                if not is_coordinator():
+                    continue
                 _logger.info(
                     "%s epoch %04d sample eval | %s", split, epoch_id,
                     " | ".join(f"{k}: {v:f}" for k, v in sorted(terms.items())),

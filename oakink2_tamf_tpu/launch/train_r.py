@@ -190,6 +190,28 @@ def main(argv=None):
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0)))
 
+    # eval datasets/loaders built ONCE, on EVERY process (global-mesh SPMD
+    # eval; per-pass rebuilds re-read cache_dict pickles every epoch)
+    eval_loaders = {}
+    if int(train_cfg.get("val_freq", 0) or 0):
+        for split in ("val", "test"):
+            try:
+                eval_base = common.build_dataset(reg, split)
+            except (ValueError, KeyError):
+                continue
+            try:
+                dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
+            except KeyError:
+                dirs = []
+            eval_ds = (
+                GeneratedPoseReprSampleAdaptor(eval_base, dirs)
+                if dirs
+                else GaussianPerturbSampleAdaptor(eval_base, (0.02, 0.1), seed=1)
+            )
+            ld = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+            if len(ld):
+                eval_loaders[split] = ld
+
     global_step = 0
     for epoch_id in range(num_epoch):
         loader.set_epoch(epoch_id)
@@ -210,27 +232,16 @@ def main(argv=None):
         ):
             save_train_state(run_dir.sub("save"), epoch_id, jax.device_get(state))
 
-        # val/test deterministic forward + loss (train_refine.py val passes)
+        # val/test deterministic forward + loss (train_refine.py val passes).
+        # Runs on EVERY process: the eval_fn is a global-mesh SPMD program
+        # (coordinator-only execution deadlocks multi-process runs at the
+        # first collective); only the logging below is coordinator-gated.
         val_freq = int(train_cfg.get("val_freq", 0) or 0)
-        if val_freq and is_coordinator() and (
+        if val_freq and (
             # first/periodic/last epochs (ref launch/train.py:580-581)
             epoch_id == 0 or (epoch_id + 1) % val_freq == 0 or epoch_id == num_epoch - 1
         ):
-            for split in ("val", "test"):
-                try:
-                    eval_base = common.build_dataset(reg, split)
-                except (ValueError, KeyError):
-                    continue
-                try:
-                    dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
-                except KeyError:
-                    dirs = []
-                eval_ds = (
-                    GeneratedPoseReprSampleAdaptor(eval_base, dirs)
-                    if dirs
-                    else GaussianPerturbSampleAdaptor(eval_base, (0.02, 0.1), seed=1)
-                )
-                eval_loader = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
+            for split, eval_loader in eval_loaders.items():
                 losses = []
                 emax = int(train_cfg.get("eval_max_batches", 0) or 0)
                 for bi, b in enumerate(eval_loader):
@@ -238,7 +249,7 @@ def main(argv=None):
                         break
                     loss, _ = eval_fn(state.params, shard_batch(common.device_batch(b), mesh))
                     losses.append(float(jax.device_get(loss)))
-                if losses:
+                if losses and is_coordinator():
                     _logger.info("%s epoch %04d refine loss: %f", split, epoch_id, np.mean(losses))
                     writer.add_scalar(f"{split}/loss", float(np.mean(losses)), global_step)
 

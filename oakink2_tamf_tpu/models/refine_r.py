@@ -155,6 +155,8 @@ def multi_object_h2o_dist(
     chunk: int = 2048,
     x_perm=None,  # static 778-perm (core/mano.hand_template_perm) for the
     # cluster kernel's x tiling; None falls back to a per-frame Morton sort
+    backend: str = "auto",  # "exact" forces the platform's exact route
+    # (data/target_cache's overflow fallback; see multi_object_h2o_overflow)
 ) -> jax.Array:
     """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
     reference's point2point_signed signs only o2h, which this path discards —
@@ -187,7 +189,7 @@ def multi_object_h2o_dist(
     # from model params, so the backward drops the gy matmul and its
     # serializing accumulation (the cluster kernel's backward bottleneck)
     h2o = G.point2point_h2o(
-        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm,
+        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, backend=backend,
         grad_y=False, y_group=L,
     )
     h2o = h2o.reshape(bs, nobj, L, nhv)
@@ -195,6 +197,35 @@ def multi_object_h2o_dist(
     # points out of the search; min over per-object mins is identical)
     h2o = jnp.where(obj_mask[:, :, None, None], h2o, jnp.inf)
     return jnp.min(h2o, axis=1)
+
+
+def multi_object_h2o_overflow(
+    hand_verts: jax.Array,  # [bs, L, 778, 3]
+    obj_traj: jax.Array,  # [bs, nobj, L, 9] tslrot6d
+    obj_points: jax.Array,  # [bs, nobj, P, 3]
+    obj_mask: jax.Array,  # [bs, nobj] bool
+    chunk: int = 2048,
+    x_perm=None,
+) -> jax.Array:
+    """Per-sample cluster-overflow counts [bs] i32 for the exact operands
+    multi_object_h2o_dist searches: zero PROVES its auto-routed result is
+    exact (trivially zero off the cluster route). Padded object slots are
+    excluded — their distances never enter the union min."""
+    bs, L = hand_verts.shape[:2]
+    nobj, P = obj_points.shape[1], obj_points.shape[2]
+    transf = T.tslrot6d_to_transf(obj_traj)
+    R = transf[..., :3, :3]
+    t = transf[..., :3, 3]
+    hi = jax.lax.Precision.HIGHEST
+    diff = hand_verts[:, None] - t[:, :, :, None, :]
+    xc = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi)
+    flat_h = xc.reshape(bs * nobj * L, hand_verts.shape[2], 3)
+    flat_oT = jnp.swapaxes(obj_points, -1, -2).reshape(bs * nobj, 3, P)
+    ovf = G.point2point_h2o_overflow(
+        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, y_group=L
+    ).reshape(bs, nobj, L)
+    ovf = jnp.where(obj_mask[:, :, None], ovf, 0)
+    return jnp.sum(ovf, axis=(1, 2))
 
 
 def target_geometry(

@@ -80,7 +80,7 @@ def main(argv=None):
     )
     from oakink2_tamf_tpu.data.collate import SegmentCollate
     from oakink2_tamf_tpu.eval.metrics import transf_merge_obj_pointcloud
-    from oakink2_tamf_tpu.interop.torch_port import port_activation
+    from oakink2_tamf_tpu.interop.torch_port import activation_for_checkpoint
     from oakink2_tamf_tpu.launch.train_r import build_refine_net
     from oakink2_tamf_tpu.models.refine_r import refine_forward, stack_mano_models
     from oakink2_tamf_tpu.runtime.ckpt import load_checkpoint
@@ -95,9 +95,7 @@ def main(argv=None):
 
     model_fp = reg.select("model_filepath")
     # .pt = ported reference checkpoint -> erf gelu (interop.torch_port contract)
-    net = build_refine_net(
-        reg, activation=port_activation(reg) if model_fp.endswith(".pt") else None
-    )
+    net = build_refine_net(reg, activation=activation_for_checkpoint(reg, model_fp))
     mano_path = reg.select("mano").get("mano_path") or None
     mano_stack = stack_mano_models(
         M.get_mano_model(mano_path, "right"), M.get_mano_model(mano_path, "left")

@@ -103,7 +103,10 @@ def _run_pair(code: str, tmp_path, timeout=900):
 
 def test_two_process_infra_and_train_r(tmp_path):
     """Loader striding + resolve_shard + shared-dir cache precompute + one
-    GSPMD train_r epoch across 2 processes; hosts must agree on final params."""
+    GSPMD train_r epoch across 2 processes (val_freq=1: the val pass is a
+    global-mesh SPMD program that must run on BOTH processes — the round-3
+    regression this pins is a coordinator-only eval deadlocking here); hosts
+    must agree on final params."""
     shared = tmp_path / "shared"
     shared.mkdir()
     code = _PROLOGUE.format(repo=REPO, port=_free_port(), shared=str(shared)) + """
@@ -122,11 +125,13 @@ seen = sorted(int(i) for b in loader for i in b)
 with open(os.path.join(SHARED, f"stripe{pid}.json"), "w") as f:
     json.dump(seen, f)
 
-# --- train_r: shared target-h2o cache dir + 1 epoch over the global mesh ---
+# --- train_r: shared target-h2o cache dir + 1 epoch over the global mesh,
+# --- with the val/test eval pass running as a 2-process SPMD program ---
 from oakink2_tamf_tpu.launch import train_r
 s = train_r.main([
     "--cfg", {smoke!r}, "--exp_id", "dist_r",
-    "--train.num_epoch", "1", "--train.val_freq", "0",
+    "--train.num_epoch", "1", "--train.val_freq", "1",
+    "--train.eval_max_batches", "1",
     "--train.data.target_h2o_cache_dir", os.path.join(SHARED, "h2o_cache"),
 ])
 step = int(jax.device_get(s.step))
@@ -136,7 +141,10 @@ with open(os.path.join(SHARED, f"result{pid}.json"), "w") as f:
     json.dump({"step": step, "checksum": checksum}, f)
 print(f"[{pid}] OK step={step} checksum={checksum}", flush=True)
 """.replace("{smoke!r}", repr(SMOKE))
-    _run_pair(code, tmp_path)
+    outs = _run_pair(code, tmp_path)
+    # the val pass ran (it executes on BOTH processes; only the coordinator
+    # logs the result line)
+    assert any("refine loss" in o for o in outs), "val pass did not run"
 
     stripes = [json.load(open(shared / f"stripe{p}.json")) for p in (0, 1)]
     # 9 samples / 2 shards -> wrap-pad to 10, 5 per host (DistributedSampler

@@ -32,6 +32,15 @@ def run_in_tmp(tmp_path, module, argv, print_expr=None):
     code = (
         "import sys\n"
         f"sys.path.insert(0, {str(REPO)!r})\n"
+        # pin the CPU platform BEFORE any jax use: the image's sitecustomize
+        # re-registers the axon TPU-tunnel backend and overrides JAX_PLATFORMS
+        # (jax.config.update after import is the only reliable override — see
+        # tests/conftest.py). Without this, every launcher subprocess silently
+        # ran through the TUNNEL: recompile-everything when it was up (the
+        # round-2 91-minute slow suite), a multi-minute hang per test when
+        # it was down.
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         f"from oakink2_tamf_tpu.launch import {module} as m\n"
         f"s = m.main({list(argv)!r})\n"
     )

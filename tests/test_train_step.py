@@ -156,6 +156,45 @@ def test_target_h2o_cache(mesh, tmp_path):
     assert disk._has(2) and not disk._has(0)
 
 
+def test_target_cache_overflow_exact_fallback(mesh):
+    """_run never persists an unproven cluster value: samples whose overflow
+    certificate fires are recomputed with the exact all-pairs kernel (forced
+    here via a fake fn — on CPU the auto route is exact and never overflows,
+    which the zero-certificate assertion below also pins)."""
+    from oakink2_tamf_tpu.data.collate import SegmentCollate
+    from oakink2_tamf_tpu.data.target_cache import TargetH2OCache
+    from oakink2_tamf_tpu.launch import common
+    from oakink2_tamf_tpu.models.refine_r import (
+        batch_recover_mano, multi_object_h2o_overflow,
+    )
+
+    base = common.SyntheticSegments(size=4, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    collate = SegmentCollate(max_nobj=NOBJ, n_obj_points=P)
+    mano_stack = stack_mano_models(M.synthetic_mano_model("right"), M.synthetic_mano_model("left"))
+    cache = TargetH2OCache(base, mano_stack, collate, chunk=64, batch_size=4)
+    batch = collate([base[i] for i in range(4)])
+
+    # off the cluster route the certificate is trivially clear
+    verts, _, _ = batch_recover_mano(
+        mano_stack, jnp.asarray(batch["pose_repr"]), batch["shape"], batch["hand_side"]
+    )
+    ovf = multi_object_h2o_overflow(
+        verts, jnp.asarray(batch["obj_traj"]), jnp.asarray(batch["obj_points"]),
+        jnp.asarray(batch["obj_mask"]), chunk=64,
+    )
+    assert np.asarray(ovf).shape == (4,) and int(np.asarray(ovf).sum()) == 0
+
+    garbage = np.full((4, L, 778), 7.0, np.float32)
+    fake_ovf = np.array([2, 0, 1, 0], np.int32)
+    out = cache._run(lambda *a: (jnp.asarray(garbage), jnp.asarray(fake_ovf)), batch)
+    exact = cache._run(cache._make_fn(), batch)  # true values (certificate clear)
+    for k in range(4):
+        if fake_ovf[k]:
+            np.testing.assert_allclose(out[k], exact[k], atol=1e-5)
+        else:
+            np.testing.assert_array_equal(out[k], garbage[k])
+
+
 def test_r_train_step_with_cached_target(mesh):
     """The R step with a batch-carried target_h2o produces the same loss as the
     inline target chamfer."""
@@ -266,6 +305,10 @@ def test_gt_geom_cache(mesh, tmp_path):
     assert batch["gt_o2h"].shape == (4, NOBJ, L, P)
     assert batch["gt_h2o"].shape == (4, NOBJ, L, 778)
     db = {k: jnp.asarray(v) for k, v in common.device_batch(batch).items()}
+    # device_batch must FORWARD the cached keys — a filter that drops them
+    # silently turns the whole cache into a no-op (the loss falls back to
+    # the inline GT chamfer and this comparison becomes inline-vs-inline)
+    assert "gt_o2h" in db and "gt_h2o" in db
 
     gg_cached = LL.extra_loss_gt_geometry(mano_stack, db, chunk=64)
     db_inline = {k: v for k, v in db.items() if k not in ("gt_o2h", "gt_h2o")}
