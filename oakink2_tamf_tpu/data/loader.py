@@ -58,12 +58,14 @@ class DataLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # shard by striding (DistributedSampler semantics incl. wrap-padding)
+        # shard by striding (DistributedSampler semantics incl. wrap-padding;
+        # np.resize TILES the permutation, so even num_shards > 2n — where a
+        # single idx[:pad] slice runs dry — still yields equal-length shards:
+        # unequal lengths would leave some processes out of the global-mesh
+        # SPMD collectives and hang the run)
         if self.num_shards > 1:
             per = int(np.ceil(n / self.num_shards))
-            total = per * self.num_shards
-            if total > n:
-                idx = np.concatenate([idx, idx[: total - n]])
+            idx = np.resize(idx, per * self.num_shards)
             idx = idx[self.shard_index :: self.num_shards]
         return idx
 

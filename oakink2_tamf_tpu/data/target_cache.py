@@ -73,6 +73,9 @@ class TargetH2OCache:
             probe = self.base[idx]
             h.update(np.ascontiguousarray(probe["pose_repr"], np.float32).tobytes())
             h.update(np.ascontiguousarray(probe["shape"], np.float32).tobytes())
+            # hand_side selects the left/right MANO model — same poses under
+            # the other hand produce different target_h2o
+            h.update(str(probe.get("hand_side", "")).encode())
             h.update(np.ascontiguousarray(probe["obj_traj"], np.float32).tobytes())
             h.update(np.int64(probe.get("obj_num", 0)).tobytes())
             if "obj_pointcloud" in probe:

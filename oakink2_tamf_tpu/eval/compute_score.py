@@ -53,7 +53,7 @@ def load_save_dicts(sample_dir: str) -> dict[tuple, dict]:
     return out
 
 
-def iter_eval_pairs(dataset, save_dicts, collate):
+def iter_eval_pairs(dataset, save_dicts):
     """Yield (gt_sample, save_dict) deduped by info (cr.py:210-232 semantics)."""
     seen = set()
     for i in range(len(dataset)):
@@ -77,7 +77,7 @@ def gt_hand_geometry(mano_stack, sample):
 
 def run_cr(reg, dataset, save_dicts, mano_stack) -> dict:
     gt_dists, refined_dists = [], []
-    for s, sd in iter_eval_pairs(dataset, save_dicts, None):
+    for s, sd in iter_eval_pairs(dataset, save_dicts):
         n = int(s["len"])
         gt_verts, _ = gt_hand_geometry(mano_stack, s)
         merged = ME.transf_merge_obj_pointcloud(
@@ -104,7 +104,7 @@ def run_siv(reg, dataset, save_dicts, mano_stack) -> dict:
     # else from the point cloud's convex bbox is NOT valid -> require meshes)
     interior_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     gt_sivs, refined_sivs = [], []
-    for s, sd in iter_eval_pairs(dataset, save_dicts, None):
+    for s, sd in iter_eval_pairs(dataset, save_dicts):
         if "obj_verts" not in s:
             _logger.warning("SIV requires obj meshes (data.enable_obj_model); skipping %s", s["info"])
             continue
@@ -141,7 +141,7 @@ def run_siv(reg, dataset, save_dicts, mano_stack) -> dict:
 
 def run_psklj(reg, dataset, save_dicts, mano_stack) -> dict:
     gt_list, md_list = [], []
-    for s, sd in iter_eval_pairs(dataset, save_dicts, None):
+    for s, sd in iter_eval_pairs(dataset, save_dicts):
         n = int(s["len"])
         _, gt_joints = gt_hand_geometry(mano_stack, s)
         gt_list.append(ME.pad_tail_with_last(np.asarray(gt_joints), n))
@@ -163,7 +163,14 @@ def run_fid(reg, dataset, save_dicts, mano_stack) -> dict:
         max_nobj=int(reg.select("data").get("max_nobj", 4)),
         n_obj_points=int(reg.select("data").get("n_obj_points", 2048)),
     )
-    pairs = list(iter_eval_pairs(dataset, save_dicts, None))
+    pairs = list(iter_eval_pairs(dataset, save_dicts))
+    if not pairs:
+        raise ValueError(
+            f"no save_dict matches any dataset segment: --score.sample_dir "
+            f"yielded {len(save_dicts)} save_dicts for a {len(dataset)}-segment "
+            f"{reg.select('score').get('split', 'test')!r} split — wrong dir, "
+            "empty tree, or split mismatch"
+        )
     probe = collate([pairs[0][0]])
     dprobe = common.device_batch(probe)
     cond = {k: dprobe[k] for k in ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}

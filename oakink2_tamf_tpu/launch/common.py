@@ -20,7 +20,7 @@ from ..data.synthetic import synthetic_batch
 from ..models.clip_text import FrozenClipText
 from ..runtime import logging as RL
 from ..runtime.ckpt import RunDir
-from ..runtime.config import ConfigRegistry
+from ..runtime.config import ConfigRegistry, sync_global_timestamp
 
 _logger = logging.getLogger(__name__)
 
@@ -40,6 +40,9 @@ def boot(prog: str, register_fns, argv=None) -> tuple[ConfigRegistry, RunDir]:
     """Parse config, set up run dir + logging. Returns (registry, run_dir)."""
     maybe_init_distributed()
     _enable_compile_cache()
+    # after distributed init, before any ?(ts) expands: one stamp per RUN,
+    # not per process (see runtime/config.sync_global_timestamp)
+    sync_global_timestamp()
 
     reg = ConfigRegistry(prog)
     for fn in register_fns:

@@ -26,7 +26,10 @@ def reg_base_param(reg: ConfigRegistry) -> None:
     reg.register("synthetic_seq_len", prefix="data", category=int, default=160)
 
     for split in ("train", "val", "test"):
-        reg.register("process_range", prefix=split, category=str, is_list=True, default=[])
+        # colon-separated (reference COLON_SEP for path lists — paths may
+        # contain commas; numeric lists stay comma-separated)
+        reg.register("process_range", prefix=split, category=str, is_list=True,
+                     default=[], sep=":")
         reg.register("cache_dict_filepath", prefix=split, category=str, default="")
         reg.register("batch_size", prefix=split, category=int, default=64 if split == "train" else 8)
 
@@ -116,8 +119,9 @@ def reg_sample_param(reg: ConfigRegistry) -> None:
 
 def reg_refine_sample_param(reg: ConfigRegistry) -> None:
     for split in ("train", "val", "test"):
+        # colon-separated path list (reference sample_refine COLON_SEP)
         reg.register("pose_repr_sample_dir_list", prefix=f"{split}.data", category=str,
-                     is_list=True, default=[])
+                     is_list=True, default=[], sep=":")
     reg.register("gaussian_perturb_range", prefix="train.data", category=float,
                  is_list=True, default=[0.02, 0.1])
     reg.register("cache_target_h2o", prefix="train.data", category=bool, default=True,

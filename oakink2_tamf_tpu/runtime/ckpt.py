@@ -23,13 +23,18 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
-from .config import GLOBAL_TIMESTAMP, substitute
+from . import config as _config
+from .config import substitute
 
 _logger = logging.getLogger(__name__)
 
 
 def default_exp_id(prog: str) -> str:
-    return f"{prog}__" + time.strftime("%Y_%m%d_%H%M_%S", time.localtime(GLOBAL_TIMESTAMP))
+    # read via the module: sync_global_timestamp() rebinds the value after
+    # jax.distributed init (a from-import here would pin the pre-sync stamp)
+    return f"{prog}__" + time.strftime(
+        "%Y_%m%d_%H%M_%S", time.localtime(_config.GLOBAL_TIMESTAMP)
+    )
 
 
 def ckpt_path_for(prog: str, exp_id: str, root: str = ".") -> str:
@@ -211,5 +216,5 @@ def load_checkpoint_orbax(path: str, target: Any = None) -> Any:
     t_flat = _flatten_dict(_to_host(target))
     r_flat = _flatten_dict(restored)
     merged = {k: r_flat.get(k, v) for k, v in t_flat.items()}
-    leaves_tgt, treedef = jax.tree.flatten(target)
-    return jax.tree.unflatten(treedef, [merged[k] for k in _flatten_dict(_to_host(target))])
+    _, treedef = jax.tree.flatten(target)
+    return jax.tree.unflatten(treedef, [merged[k] for k in t_flat])

@@ -34,9 +34,36 @@ GLOBAL_TIMESTAMP = time.time()
 _SPECIAL = re.compile(r"\?\(([^)]*)\)")
 
 
+def sync_global_timestamp() -> None:
+    """Multi-host: make `?(ts)` expand IDENTICALLY on every host. The default
+    exp_id is `?(prog)__?(ts)` (launch/param.py) — with per-process stamps
+    each host writes its stripe of one logical run into a DIFFERENT
+    common/<prog>/<exp_id> tree (hosts import this module seconds apart), and
+    downstream consumers (train_r's sample adaptor, compute_score) see a
+    fragmented, half-missing run. Broadcast process 0's stamp after
+    jax.distributed.initialize (launch/common.boot calls this)."""
+    global GLOBAL_TIMESTAMP
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    GLOBAL_TIMESTAMP = float(
+        multihost_utils.broadcast_one_to_all(np.float64(GLOBAL_TIMESTAMP))
+    )
+
+
 class Unspecified:
     def __repr__(self):
         return "<unspecified>"
+
+    def __bool__(self):
+        # falsy: every launcher reads optional entries with the
+        # `reg.select(...).get(key) or fallback` idiom — a truthy sentinel
+        # would leak into int()/open() calls far from the config layer
+        return False
 
 
 UNSPECIFIED = Unspecified()
@@ -145,6 +172,7 @@ class ConfigRegistry:
         choices: Optional[Sequence[Any]] = None,
         callback: Optional[Callable[[Any, "ConfigRegistry"], Any]] = None,
         cli: bool = True,
+        sep: str = ",",
     ) -> None:
         full = f"{prefix}.{key}" if prefix else key
         self.entries[full] = ConfigEntry(
@@ -157,6 +185,7 @@ class ConfigRegistry:
             choices=choices,
             callback=callback,
             cli=cli,
+            sep=sep,
         )
 
     # -- parsing -----------------------------------------------------------
@@ -219,8 +248,11 @@ class ConfigRegistry:
 
     def _parse_cli_value(self, entry: ConfigEntry, raw: str) -> Any:
         if entry.is_list:
-            sep = ":" if ":" in raw and entry.sep == ":" else ","
-            parts = [p for p in re.split(r"[:,]", raw) if p]
+            # split ONLY on the entry's registered separator (reference
+            # config_reg's COLON_SEP/COMMA_SEP patterns): splitting on both
+            # would mangle elements that legitimately contain the other
+            # character (e.g. "gs://bucket/run1" in a comma-separated list)
+            parts = [p for p in raw.split(entry.sep) if p]
             return [self._cast_scalar(entry.category, p) for p in parts]
         return self._cast_scalar(entry.category, raw)
 

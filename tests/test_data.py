@@ -399,3 +399,20 @@ def test_loader_shards_and_epochs(dataset):
     order0 = [tuple(i) for b in b0 for i in b["info"]]
     order1 = [tuple(i) for b in b0e1 for i in b["info"]]
     assert order0 != order1
+
+
+def test_loader_shard_lengths_equal_when_shards_exceed_dataset():
+    """num_shards > 2n: a single wrap-pad slice runs dry — the tiling pad
+    must still hand every shard the SAME number of indices, else some
+    processes skip the global-mesh collectives and the run hangs."""
+    ds = [{"i": i} for i in range(3)]
+    lens = set()
+    for w in range(8):
+        dl = DataLoader(ds, 1, lambda l: np.array([d["i"] for d in l]),
+                        shuffle=False, drop_last=False, seed=0,
+                        num_shards=8, shard_index=w, num_workers=0)
+        batches = list(dl)
+        lens.add(len(batches))
+        # every served index is a real dataset index
+        assert all(0 <= int(b[0]) < 3 for b in batches)
+    assert lens == {1}, lens

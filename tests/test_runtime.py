@@ -47,6 +47,27 @@ def test_config_list_and_file_subst(tmp_path):
     assert reg.select("data")["process_range"] == ["seq_a", "seq_b", "seq_c"]
 
 
+def test_config_list_sep_respected():
+    """List entries split ONLY on their registered separator — a
+    colon-separated path list must keep commas inside elements (and vice
+    versa), matching the reference's COLON_SEP/COMMA_SEP patterns."""
+    reg = ConfigRegistry("p")
+    reg.register("dirs", prefix="d", category=str, is_list=True, default=[], sep=":")
+    reg.register("mile", prefix="t", category=int, is_list=True, default=[], sep=",")
+    parser = argparse.ArgumentParser()
+    reg.hook(parser)
+    reg.parse(parser, ["--d.dirs", "/a/dir,with,commas:/b/dir", "--t.mile", "150,250"])
+    assert reg.select("d")["dirs"] == ["/a/dir,with,commas", "/b/dir"]
+    assert reg.select("t")["mile"] == [150, 250]
+
+
+def test_unspecified_is_falsy():
+    """Optional entries without defaults must read as falsy through the
+    `select().get(key) or fallback` idiom every launcher uses."""
+    assert not UNSPECIFIED
+    assert (UNSPECIFIED or None) is None
+
+
 def test_config_required_missing():
     reg = ConfigRegistry("p")
     reg.register("must", category=str, required=True)
