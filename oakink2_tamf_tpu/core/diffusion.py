@@ -411,18 +411,22 @@ def p_sample_loop(
 ) -> jax.Array:
     """Full reverse chain as one on-device `lax.scan` (gd.py:506-640).
 
-    Returns the final sample [bs, ...]. With `skip_timesteps`, starts from
-    q_sample(init_image, t_start) like the reference's resume path.
+    Returns the final sample [bs, ...]. init_image/skip_timesteps follow the
+    reference exactly (gd.py:605-612): any init_image is q_sampled at the
+    start step USING THE INITIAL NOISE AS THE q_sample NOISE (even with
+    skip_timesteps=0), and skip_timesteps without an init_image substitutes
+    a zeros image (start marginal sqrt(1-alpha_bar)*noise, not unit noise).
     """
     T = sched.num_timesteps
     key, k_init = jax.random.split(key)
     img = jax.random.normal(k_init, shape, jnp.float32) if noise is None else noise
 
     t_start = T - skip_timesteps
-    if skip_timesteps and init_image is not None:
-        key, k_q = jax.random.split(key)
+    if skip_timesteps and init_image is None:
+        init_image = jnp.zeros(shape, jnp.float32)
+    if init_image is not None:
         t0 = jnp.full((shape[0],), t_start - 1, jnp.int32)
-        img = q_sample(sched, init_image, t0, jax.random.normal(k_q, shape, jnp.float32))
+        img = q_sample(sched, init_image, t0, img)
 
     ts = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     keys = jax.random.split(key, ts.shape[0])
@@ -480,10 +484,13 @@ def p_sample_loop_trajectory(
     img = jax.random.normal(k_init, shape, jnp.float32) if noise is None else noise
 
     t_start = T - skip_timesteps
-    if skip_timesteps and init_image is not None:
-        key, k_q = jax.random.split(key)
+    # reference init semantics (gd.py:605-612): zeros image when resuming
+    # without one; any init_image q_sampled with the initial noise itself
+    if skip_timesteps and init_image is None:
+        init_image = jnp.zeros(shape, jnp.float32)
+    if init_image is not None:
         t0 = jnp.full((shape[0],), t_start - 1, jnp.int32)
-        img = q_sample(sched, init_image, t0, jax.random.normal(k_q, shape, jnp.float32))
+        img = q_sample(sched, init_image, t0, img)
 
     ts = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     keys = jax.random.split(key, ts.shape[0])
@@ -626,31 +633,41 @@ def plms_sample_loop(
     *,
     noise: jax.Array | None = None,
     clip_denoised: bool = False,
-    order: int = 4,
+    order: int = 2,
     model_mean_type: ModelMeanType = ModelMeanType.START_X,
 ) -> jax.Array:
     """Pseudo-linear-multistep sampler (gd.py:882-1077) as a scan carrying an
-    eps ring buffer; warms up through lower orders like the reference."""
+    eps ring buffer. Reference-exact structure: order defaults to 2
+    (gd.py:982), the FIRST step (order > 1) is a Pseudo Improved Euler
+    half-step pair — a second model eval at (mean_pred, t-1) with the two
+    eps averaged (gd.py:932-939) — and the final t == 0 step returns the
+    model's pred_xstart, not the Adams-Bashforth transfer (gd.py:963-964)."""
     assert 1 <= order <= 4
     T = sched.num_timesteps
     key, k_init = jax.random.split(key)
     img = jax.random.normal(k_init, shape, jnp.float32) if noise is None else noise
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
 
-    def get_eps(x, t):
+    def get_eps_x0(x, t):
         out = p_mean_variance(
             model_fn, sched, x, t,
             clip_denoised=clip_denoised, model_mean_type=model_mean_type,
         )
-        return predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
+        return (
+            predict_eps_from_xstart(sched, x, t, out["pred_xstart"]),
+            out["pred_xstart"],
+        )
+
+    def ab_next_of(t_next, ndim):
+        # t_next may be -1 => alpha_bar_prev = 1
+        ab = jnp.where(
+            t_next >= 0, jnp.take(sched.alphas_cumprod, jnp.maximum(t_next, 0)), 1.0
+        )
+        return ab.reshape((-1,) + (1,) * (ndim - 1))
 
     def transfer(x, t, t_next, eps):
-        """Deterministic DDIM transfer using given eps (PRK/PLMS inner step)."""
-        alpha_bar = _extract(sched.alphas_cumprod, t, x.ndim)
-        # t_next may be -1 => alpha_bar_prev = 1
-        ab_next = jnp.where(
-            t_next >= 0, jnp.take(sched.alphas_cumprod, jnp.maximum(t_next, 0)), 1.0
-        ).reshape(alpha_bar.shape)
+        """Deterministic DDIM transfer using given eps (PLMS inner step)."""
+        ab_next = ab_next_of(t_next, x.ndim)
         pred_x0 = predict_xstart_from_eps(sched, x, t, eps)
         return pred_x0 * jnp.sqrt(ab_next) + jnp.sqrt(1 - ab_next) * eps
 
@@ -658,7 +675,7 @@ def plms_sample_loop(
         img, eps_buf, n_seen = carry
         t = jnp.full((shape[0],), t_scalar, jnp.int32)
         t_next = t - 1
-        eps = get_eps(img, t)
+        eps, pred_x0 = get_eps_x0(img, t)
 
         e0 = eps
         e1, e2, e3 = eps_buf[0], eps_buf[1], eps_buf[2]
@@ -666,13 +683,32 @@ def plms_sample_loop(
         prime1 = (3 * e0 - e1) / 2
         prime2 = (23 * e0 - 16 * e1 + 5 * e2) / 12
         prime3 = (55 * e0 - 59 * e1 + 37 * e2 - 9 * e3) / 24
-        eff_order = jnp.minimum(n_seen, order - 1)
-        eps_prime = jnp.select(
-            [eff_order == 0, eff_order == 1, eff_order == 2],
-            [e0, prime1, prime2],
-            prime3,
+
+        def improved_euler(_):
+            # gd.py:932-939 — only the first step (old_out None) pays the
+            # extra model eval; lax.cond skips it on every later step
+            ab_next = ab_next_of(t_next, img.ndim)
+            mean_pred = pred_x0 * jnp.sqrt(ab_next) + jnp.sqrt(1 - ab_next) * e0
+            eps_2, _ = get_eps_x0(mean_pred, jnp.maximum(t_next, 0))
+            return (e0 + eps_2) / 2.0
+
+        def adams_bashforth(_):
+            eff_order = jnp.minimum(n_seen, order - 1)
+            return jnp.select(
+                [eff_order == 0, eff_order == 1, eff_order == 2],
+                [e0, prime1, prime2],
+                prime3,
+            )
+
+        eps_prime = (
+            jax.lax.cond(n_seen == 0, improved_euler, adams_bashforth, None)
+            if order > 1
+            else e0
         )
         img_next = transfer(img, t, t_next, eps_prime)
+        # final step (t == 0): the reference emits the model's pred_xstart
+        nonzero = (t != 0).astype(img.dtype).reshape((-1,) + (1,) * (img.ndim - 1))
+        img_next = img_next * nonzero + pred_x0 * (1 - nonzero)
         new_buf = jnp.stack([e0, e1, e2])
         return (img_next, new_buf, n_seen + 1), None
 

@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import transforms as T
+
 
 def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
     """Per-vertex normals: area-weighted sum of incident face normals, normalized.
@@ -318,17 +320,16 @@ def point2point_h2o_overflow(
     )
 
 
-def _safe_sqrt(d: jax.Array) -> jax.Array:
-    """NaN-safe sqrt for squared distances. d/dx sqrt(x) is inf at 0, and
-    0-cotangent x inf = NaN under AD — reachable since the shared-Y mode:
-    collate pads obj_points with ZEROS and the canonical-frame hand verts of
-    a padded object slot are exactly 0 too (R=0, t=0), so d == 0.0 bit-exact
-    and the loss's obj_mask multiply (0 cotangent) turns the whole grad NaN.
-    The kernel backwards already guard (cotangent / max(dist, 1e-12) —
-    chamfer_pallas.py:585, chamfer_cluster.py:768,1132); this is the XLA-path
-    equivalent: value-exact, zero subgradient at d <= 0."""
-    pos = d > 0.0
-    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d, 1.0)), 0.0)
+# NaN-safe sqrt for squared distances. d/dx sqrt(x) is inf at 0, and
+# 0-cotangent x inf = NaN under AD — reachable since the shared-Y mode:
+# collate pads obj_points with ZEROS and the canonical-frame hand verts of
+# a padded object slot are exactly 0 too (R=0, t=0), so d == 0.0 bit-exact
+# and the loss's obj_mask multiply (0 cotangent) turns the whole grad NaN.
+# The kernel backwards already guard (cotangent / max(dist, 1e-12) —
+# chamfer_pallas.py:585, chamfer_cluster.py:768,1132); this XLA-path guard
+# (value-exact, zero subgradient at x <= 0) is shared with the rotation
+# codecs — one numerically-sensitive implementation, not two.
+_safe_sqrt = T._sqrt_positive_part
 
 
 def _point2point_signed_xla(x, y, x_normals, y_normals, y_valid, chunk):

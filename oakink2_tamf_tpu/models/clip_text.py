@@ -360,6 +360,17 @@ class FrozenClipText:
         bpe_found = find_bpe_path(bpe_path, near=checkpoint_path)
         self.tokenizer = ClipTokenizer(bpe_found)
         self.model = ClipTextEncoder()
+        if checkpoint_path and not os.path.isfile(checkpoint_path):
+            # an EXPLICITLY configured checkpoint that is missing must raise
+            # (same contract as core/mano.get_mano_model and
+            # models/losses.load_contact_assets): a typo'd path silently
+            # training/evaluating on random-init CLIP features is exactly
+            # the corruption this class exists to refuse
+            raise FileNotFoundError(
+                f"clip.checkpoint_path was set but does not exist: "
+                f"{checkpoint_path!r}. Leave it unset for a random-init "
+                "smoke run, or point it at the real CLIP ViT-B/32 weights."
+            )
         if checkpoint_path and os.path.isfile(checkpoint_path):
             if not self.tokenizer.has_bpe and not allow_hash_tokenizer:
                 raise RuntimeError(

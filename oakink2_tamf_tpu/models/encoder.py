@@ -77,10 +77,15 @@ class SegmentEncoder(nn.Module):
         merged = InputMerge(cfg.latent_dim, name="input_merge")(hand_traj, object_input)
         merged = jnp.nan_to_num(merged)
 
-        # zero-initialized trainless classification token (ref :52, a buffer)
+        # zero-initialized trainless classification token (ref :52,
+        # register_buffer — EXCLUDED from the reference's parameters()).
+        # stop_gradient keeps it out of the differentiated set; the train
+        # step additionally zeroes any optimizer update on the buffers
+        # collection so weight decay can't drift it either.
         cls_token = self.variable(
             "buffers", "classification_token", lambda: jnp.zeros((1, 1, cfg.latent_dim))
         ).value
+        cls_token = jax.lax.stop_gradient(cls_token)
         cls = jnp.broadcast_to(cls_token, (bs, 1, cfg.latent_dim))
 
         xseq = jnp.concatenate([emb, merged, cls], axis=1)  # [bs, 3+L+1, d]

@@ -265,6 +265,12 @@ def _nn_forward(x, y, y_valid, x_normals, tile, interpret, y_group=1):
     y_group > 1: y is [G, P2, 3] shared by runs of y_group consecutive frames
     (see _prep_operands); outputs stay per-frame."""
     if x_normals is None:
+        # zero normals still pay the full sign matmul per tile (~half this
+        # kernel's MXU work). Acceptable: the ONLY production caller
+        # (models/losses._per_object_signed) always passes normals; unsigned
+        # production paths route to the h2o-only kernels instead. Revisit
+        # with a normals-free kernel variant if an unsigned BIDIRECTIONAL
+        # hot path ever appears.
         x_normals = jnp.zeros_like(x)
     xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
         x, y, y_valid, x_normals, tile, y_group

@@ -336,6 +336,14 @@ def make_encoder_train_step(
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        # the 'buffers' collection (classification_token) is a FROZEN buffer
+        # in the reference (segment_encoder.py:52, excluded from
+        # parameters()): grads are zero via stop_gradient, and zeroing the
+        # update also blocks weight-decay drift under adamw(wd > 0)
+        if isinstance(updates, dict) and "buffers" in updates:
+            updates = dict(
+                updates, buffers=jax.tree.map(jnp.zeros_like, updates["buffers"])
+            )
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, new_opt), metrics
 

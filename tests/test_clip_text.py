@@ -103,6 +103,14 @@ def test_pretrained_without_bpe_refuses(tmp_path, monkeypatch):
         C.FrozenClipText(checkpoint_path=str(fp))
 
 
+def test_explicit_missing_checkpoint_raises(tmp_path):
+    """An explicitly configured but missing clip.checkpoint_path must raise —
+    silently falling back to random-init weights is the same corruption class
+    as the hash-tokenizer refusal (mirrors core/mano.get_mano_model)."""
+    with pytest.raises(FileNotFoundError, match="checkpoint_path"):
+        C.FrozenClipText(checkpoint_path=str(tmp_path / "nope.pt"))
+
+
 def test_encoder_shapes_and_eot_feature():
     tok = C.ClipTokenizer()
     enc = C.FrozenClipText()

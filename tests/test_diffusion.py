@@ -287,6 +287,49 @@ def test_ddim_chain_parity():
 
 
 @needs_ref
+def test_plms_chain_parity():
+    """PLMS is deterministic given the init noise: same linear model, same
+    init -> the scan must match the reference's plms_sample_loop exactly,
+    including the Pseudo-Improved-Euler first step (gd.py:932-939) and the
+    pred_xstart final step (gd.py:963-964)."""
+    import torch
+
+    steps = 20
+    ref = make_ref(steps)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(4)
+    init = rng.normal(size=(2, 5, 1, 7)).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, x, t, **kw):
+            return 0.3 * x
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    # order=1 crashes the REFERENCE (plms_sample's AB branch subscripts
+    # old_out=None when the PIE warmup is skipped, gd.py:941-942) — only the
+    # orders the reference can actually run are compared
+    for order in (2, 4):
+        ref_out = ref.plms_sample_loop(
+            RefModel(), init.shape, noise=torch.from_numpy(init),
+            clip_denoised=False, order=order,
+        ).numpy()
+        out = D.plms_sample_loop(
+            lambda x, t: 0.3 * x, mine, (2, 7, 5), jax.random.PRNGKey(0),
+            noise=to_ours(init), order=order,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(ref_out[:, :, 0, :], (0, 2, 1)),
+            atol=1e-4, err_msg=f"order={order}",
+        )
+
+
+@needs_ref
 def test_training_losses_parity():
     import torch
 
