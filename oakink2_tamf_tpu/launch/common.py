@@ -189,6 +189,42 @@ def build_loader(reg: ConfigRegistry, dataset, split: str, *, shuffle=None, drop
     )
 
 
+def build_eval_loaders(reg: ConfigRegistry, wrap=None) -> dict[str, DataLoader]:
+    """val/test eval loaders, shared by the three trainers.
+
+    Invariants held here ONCE (they drifted when each launcher had its own
+    copy): built on EVERY process (eval is a global-mesh SPMD computation —
+    each process feeds its loader stripe; coordinator-only construction
+    deadlocks multi-process runs); unconfigured splits are skipped with a
+    log line, but a CONFIGURED split that fails to build RAISES (a typo'd
+    cache path silently vanishing from the eval logs is the failure mode);
+    drop_last=False so eval_max_batches=0 really covers the FULL split
+    (reference launch/train.py:577-656 evaluates every sample — the tail
+    batch recompiles once for its shape, which parity is worth); an empty
+    split logs WHY it produced no loader. `wrap` adapts the dataset (R's
+    sample adaptors, the encoder's action adapter) before the loader."""
+    loaders: dict[str, DataLoader] = {}
+    data_cfg = reg.select("data")
+    for split in ("val", "test"):
+        split_cfg = reg.select(split)
+        if not (
+            data_cfg.get("synthetic")
+            or split_cfg.get("cache_dict_filepath")
+            or split_cfg.get("process_range")
+        ):
+            _logger.info("%s split not configured; skipping its eval", split)
+            continue
+        ds = build_dataset(reg, split)
+        if wrap is not None:
+            ds = wrap(split, ds)
+        ld = build_loader(reg, ds, split, shuffle=False, drop_last=False)
+        if len(ld):
+            loaders[split] = ld
+        else:
+            _logger.warning("%s split is configured but EMPTY; no eval for it", split)
+    return loaders
+
+
 def resolve_shard(sample_cfg) -> tuple[int, int]:
     """(shard_index, num_shards) for the samplers: sample.num_shards /
     sample.shard_index override the jax process topology; out-of-range

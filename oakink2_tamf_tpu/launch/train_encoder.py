@@ -108,21 +108,13 @@ def main(argv=None):
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(0)
     eval_fn = None  # built lazily on the first val pass (one compile)
-    # eval datasets/loaders built ONCE, on EVERY process: eval is a
-    # global-mesh SPMD computation (each process feeds its loader stripe;
-    # coordinator-only execution would deadlock multi-process runs), and
-    # rebuilding per val pass re-reads cache_dict pickles every epoch
+    # eval loaders built ONCE via the shared helper (fail-loud configured
+    # splits, full-split drop_last=False, every-process SPMD invariant)
     eval_loaders = {}
     if int(train_cfg.get("val_freq", 0) or 0):
-        for split in ("val", "test"):
-            try:
-                eval_base = common.build_dataset(reg, split)
-            except (ValueError, KeyError):
-                continue
-            eval_ds = ActionRecognitionAdapter(IdentitySampleAdaptor(eval_base))
-            ld = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
-            if len(ld):
-                eval_loaders[split] = ld
+        eval_loaders = common.build_eval_loaders(
+            reg, wrap=lambda _s, ds: ActionRecognitionAdapter(IdentitySampleAdaptor(ds))
+        )
     global_step = 0
     for epoch_id in range(num_epoch):
         loader.set_epoch(epoch_id)

@@ -243,24 +243,10 @@ def main(argv=None):
     eval_loaders = {}
     eval_sampler = None
     eval_extra_fn = None
-    # built on EVERY process: eval is a global-mesh SPMD computation (each
-    # process feeds its loader stripe; a coordinator-only eval would deadlock
-    # multi-process runs at the first collective and fork the RNG stream)
     if int(train_cfg.get("val_freq", 0) or 0):
-        data_cfg = reg.select("data")
-        for split in ("val", "test"):
-            split_cfg = reg.select(split)
-            if not (
-                data_cfg.get("synthetic")
-                or split_cfg.get("cache_dict_filepath")
-                or split_cfg.get("process_range")
-            ):
-                _logger.info("%s split not configured; skipping its eval", split)
-                continue
-            ds = common.build_dataset(reg, split)
-            ld = common.build_loader(reg, ds, split, shuffle=False, drop_last=True)
-            if len(ld):
-                eval_loaders[split] = ld
+        # shared construction (fail-loud configured splits, full-split
+        # drop_last=False, every-process SPMD invariant): common.py
+        eval_loaders = common.build_eval_loaders(reg)
         if eval_loaders:
             eval_sampler = PT.make_g_sampler(model, sched, mesh=mesh)
             # geometric extra loss on the SAMPLED output (ref train.py:613-649)

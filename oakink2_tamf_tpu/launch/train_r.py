@@ -190,27 +190,20 @@ def main(argv=None):
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0)))
 
-    # eval datasets/loaders built ONCE, on EVERY process (global-mesh SPMD
-    # eval; per-pass rebuilds re-read cache_dict pickles every epoch)
+    # eval loaders built ONCE via the shared helper (fail-loud configured
+    # splits, full-split drop_last=False, every-process SPMD invariant)
+    def _wrap_refine(split, base):
+        try:
+            dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
+        except KeyError:
+            dirs = []
+        if dirs:
+            return GeneratedPoseReprSampleAdaptor(base, dirs)
+        return GaussianPerturbSampleAdaptor(base, (0.02, 0.1), seed=1)
+
     eval_loaders = {}
     if int(train_cfg.get("val_freq", 0) or 0):
-        for split in ("val", "test"):
-            try:
-                eval_base = common.build_dataset(reg, split)
-            except (ValueError, KeyError):
-                continue
-            try:
-                dirs = reg.select(f"{split}.data").get("pose_repr_sample_dir_list") or []
-            except KeyError:
-                dirs = []
-            eval_ds = (
-                GeneratedPoseReprSampleAdaptor(eval_base, dirs)
-                if dirs
-                else GaussianPerturbSampleAdaptor(eval_base, (0.02, 0.1), seed=1)
-            )
-            ld = common.build_loader(reg, eval_ds, split, shuffle=False, drop_last=True)
-            if len(ld):
-                eval_loaders[split] = ld
+        eval_loaders = common.build_eval_loaders(reg, wrap=_wrap_refine)
 
     global_step = 0
     for epoch_id in range(num_epoch):

@@ -69,6 +69,21 @@ class Unspecified:
 UNSPECIFIED = Unspecified()
 
 
+def _split_outside_subst(raw: str, sep: str) -> list[str]:
+    """Split `raw` on `sep`, treating `?(...)` substitution tokens as atoms
+    (their contents — e.g. the colon in `?(file:path)` — never split)."""
+    spans = [m.span() for m in _SPECIAL.finditer(raw)]
+    parts, start = [], 0
+    i = 0
+    while i < len(raw):
+        if raw[i] == sep and not any(a <= i < b for a, b in spans):
+            parts.append(raw[start:i])
+            start = i + 1
+        i += 1
+    parts.append(raw[start:])
+    return parts
+
+
 def _load_fileline(path: str) -> list[str]:
     res = []
     path = os.path.normpath(os.path.abspath(path))
@@ -251,8 +266,11 @@ class ConfigRegistry:
             # split ONLY on the entry's registered separator (reference
             # config_reg's COLON_SEP/COMMA_SEP patterns): splitting on both
             # would mangle elements that legitimately contain the other
-            # character (e.g. "gs://bucket/run1" in a comma-separated list)
-            parts = [p for p in raw.split(entry.sep) if p]
+            # character — and NEVER inside a ?(...) substitution token,
+            # whose expansion runs after this split (the documented
+            # `--train.process_range "?(file:asset/split/train.txt)"` form
+            # contains the colon separator itself)
+            parts = [p for p in _split_outside_subst(raw, entry.sep) if p]
             return [self._cast_scalar(entry.category, p) for p in parts]
         return self._cast_scalar(entry.category, raw)
 

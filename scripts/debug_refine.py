@@ -102,7 +102,14 @@ def main(argv=None):
     )
 
     n = min(int(reg.select("n_samples")), len(dataset))
-    collate = SegmentCollate(max_nobj=2, n_obj_points=512)
+    # shapes from the data config (launch/sample_r.py contract): hardcoded
+    # max_nobj would silently TRUNCATE objects and diagnose the checkpoint
+    # against wrong geometry
+    dcfg = reg.select("data")
+    collate = SegmentCollate(
+        max_nobj=int(dcfg.get("max_nobj", 4)),
+        n_obj_points=int(dcfg.get("n_obj_points", 2048)),
+    )
     samples = [dataset[i] for i in range(n)]
     batch = collate(samples)
     db = common.device_batch(batch)

@@ -24,10 +24,20 @@ if [ ! -f asset/clip/bpe_simple_vocab_16e6.txt.gz ]; then
   curl -L -o asset/clip/bpe_simple_vocab_16e6.txt.gz "$CLIP_BPE"
 fi
 
-# 3. grabnet contact assets (verts_per_edge.npy, rhand_weight.npy -> asset/grabnet)
+# 3. grabnet contact assets (verts_per_edge.npy, rhand_weight.npy -> asset/grabnet).
+# The reference README's own grabnet link points at encoder__fid_1.tar.xz
+# (README.md:128-133) — VERIFY the untar actually produced asset/grabnet and
+# fail loudly if it did not (training would otherwise proceed on the
+# synthesized-fallback contact weights, models/losses.py fail-loud warning).
 if [ ! -f asset/grabnet/rhand_weight.npy ]; then
   curl -L -o /tmp/grabnet_assets.tar.xz "$HF/encoder__fid_1.tar.xz"
   tar -xJf /tmp/grabnet_assets.tar.xz -C asset
+  if [ ! -f asset/grabnet/rhand_weight.npy ]; then
+    echo "!! the archive did not contain grabnet/ (the reference README's" \
+         "link may be wrong): fetch verts_per_edge.npy + rhand_weight.npy" \
+         "from https://github.com/otaheri/GrabNet /" \
+         "https://github.com/oakink/OakInk-Grasp-Generation into asset/grabnet"
+  fi
 fi
 
 # 4. precomputed PointBERT object embeddings + sampled point clouds -> common/

@@ -146,11 +146,30 @@ def _torch_args(inp):
 # ---------------------------------------------------------------------------
 
 
+def _require_ref_import(reference_src: str, module: str) -> None:
+    """A skipped-because-unimportable parity suite still exits 0 — convert
+    'the reference module the suite needs cannot be imported' into a FAIL,
+    so an all-skipped suite can never report PASS."""
+    import importlib
+
+    if reference_src not in sys.path:
+        sys.path.insert(0, reference_src)
+    try:
+        importlib.import_module(module)
+    except Exception as e:
+        raise AssertionError(
+            f"reference module {module!r} not importable from "
+            f"{reference_src!r} ({e}) — the parity suite would skip "
+            "everything and vacuously pass"
+        )
+
+
 def check_transforms(args):
     if not os.path.isdir(args.reference_src):
         raise SkipCheck(f"--reference_src not found: {args.reference_src}")
     import pytest
 
+    _require_ref_import(args.reference_src, "dev_fn.transform.rotation")
     rc = pytest.main(["-q", "-x", os.path.join(REPO, "tests", "test_ref_parity_transforms.py"),
                       "-p", "no:cacheprovider"])
     if rc != 0:
@@ -163,6 +182,9 @@ def check_diffusion(args):
         raise SkipCheck(f"--reference_src not found: {args.reference_src}")
     import pytest
 
+    _require_ref_import(
+        args.reference_src, "oakink2_tamf.model.diffusion.gaussian_diffusion"
+    )
     rc = pytest.main(["-q", "-x", os.path.join(REPO, "tests", "test_diffusion.py"),
                       "-p", "no:cacheprovider"])
     if rc != 0:
@@ -404,6 +426,9 @@ def check_encoder(args):
     model = SegmentEncoder(EncoderConfig(
         latent_dim=dims["d"], ff_size=dims["ff"], num_layers=dims["layers"],
         num_heads=dims["heads"], dropout=0.0, output_dim=out_dim,
+        # ported torch checkpoint: exact erf gelu, same as check_g/check_r
+        # (the tanh default drifts ~1e-3/activation against ATOL_FWD)
+        activation="gelu_exact",
     ))
     rng = np.random.default_rng(5)
     inp = _synth_inputs(rng)
@@ -453,6 +478,13 @@ def main(argv=None):
     p.add_argument("--skip_suites", action="store_true",
                    help="skip the pytest-backed transforms/diffusion suites")
     args = p.parse_args(argv)
+
+    # the pytest-backed parity suites read the reference location from this
+    # env var (tests/test_diffusion.py, test_ref_parity_transforms.py) —
+    # without it a custom --reference_src would pass the isdir gate here but
+    # the suites would skip against the hardcoded default and report PASS
+    # with zero parity tests executed
+    os.environ["TAMF_REF_SRC"] = args.reference_src
 
     if os.environ.get("JAX_PLATFORMS"):
         # the image's sitecustomize may override the env var after import;

@@ -12,7 +12,7 @@ import pytest
 
 from oakink2_tamf_tpu.core import diffusion as D
 
-REF_SRC = "/root/reference/src"
+REF_SRC = os.environ.get("TAMF_REF_SRC", "/root/reference/src")
 _HAS_REF = os.path.isdir(REF_SRC)
 if _HAS_REF:
     sys.path.insert(0, REF_SRC)

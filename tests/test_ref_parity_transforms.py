@@ -9,6 +9,7 @@ compare our JAX transforms value-by-value — pinning the convention chain
 against the real thing instead of our own round-trips.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -16,7 +17,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-REF_SRC = "/root/reference/src"
+REF_SRC = os.environ.get("TAMF_REF_SRC", "/root/reference/src")
 if REF_SRC not in sys.path:
     sys.path.insert(0, REF_SRC)
 

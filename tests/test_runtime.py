@@ -61,6 +61,22 @@ def test_config_list_sep_respected():
     assert reg.select("t")["mile"] == [150, 250]
 
 
+def test_config_list_subst_token_not_split(tmp_path):
+    """A ?(file:...) substitution token passed on the CLI to a COLON-separated
+    list entry must stay atomic — the separator inside the token is part of
+    the substitution syntax, not a list boundary (docs/MIGRATION.md documents
+    exactly this invocation for --train.process_range)."""
+    split = tmp_path / "train.txt"
+    split.write_text("seq_a\nseq_b\n")
+    reg = ConfigRegistry("p")
+    reg.register("process_range", prefix="data", category=str, is_list=True,
+                 default=[], sep=":")
+    parser = argparse.ArgumentParser()
+    reg.hook(parser)
+    reg.parse(parser, ["--data.process_range", f"?(file:{split}):seq_c"])
+    assert reg.select("data")["process_range"] == ["seq_a", "seq_b", "seq_c"]
+
+
 def test_unspecified_is_falsy():
     """Optional entries without defaults must read as falsy through the
     `select().get(key) or fallback` idiom every launcher uses."""
