@@ -125,7 +125,21 @@ def main():
     seq_len = int(os.environ.get("BENCH_SEQLEN", "160"))
     ref_iters = int(os.environ.get("BENCH_REF_STEPS", "30"))  # emulation sample count
 
-    devices = jax.devices()
+    # the axon TPU tunnel intermittently stalls or reports UNAVAILABLE for a
+    # while (observed: a 25-min silent block, then a raise); retry a few
+    # times before giving up so a transient outage doesn't cost the round's
+    # bench artifact. BENCH_DEVICE_RETRIES=0 disables the retries.
+    retries = int(os.environ.get("BENCH_DEVICE_RETRIES", "3"))
+    for attempt in range(retries + 1):
+        try:
+            devices = jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt >= retries:
+                raise
+            print(f"# jax.devices() failed ({e}); retry {attempt + 1}/{retries} "
+                  "in 120 s", file=sys.stderr)
+            time.sleep(120)
     n_dev = len(devices)
     peak = _peak_flops(devices[0])
     extra: dict = {"n_devices": n_dev, "device_kind": getattr(devices[0], "device_kind", "?")}
