@@ -84,9 +84,11 @@ def _dot(a, b, dims):
 #   reshape-based two-stage min compiles, matches exactly, and measured
 #   NEUTRAL-to-slower (213 vs 190 us/frame at tile=16384) — the flat
 #   reduction stays.
-# Going materially faster requires not computing all pairs (per-object
-# cluster pruning in the canonical frame — future work; breaks exactness
-# guarantees vs the full search).
+# Going materially faster requires not computing all pairs: that is
+# ops/chamfer_cluster.py (per-object cluster pruning in the canonical frame,
+# with an overflow certificate that preserves exactness — measured 1.75x this
+# kernel on h2o fwd+bwd at 640x778x8192). This kernel remains the parity
+# oracle and the default below the cluster path's break-even point.
 
 
 def _nn_kernel(

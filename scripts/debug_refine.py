@@ -66,6 +66,8 @@ def main(argv=None):
     reg.register("out", category=str, default="tmp/debug_refine")
     reg.register("n_samples", category=int, default=2)
     reg.register("split", category=str, default="test")
+    reg.register("html", category=bool, default=False,
+                 desc="also export an interactive refine_<i>.html viewer per segment")
     parser = argparse.ArgumentParser()
     reg.hook(parser)
     reg.parse(parser, argv)
@@ -184,6 +186,25 @@ def main(argv=None):
             },
             os.path.join(out_dir, f"refine_{i:03d}_h2o.png"),
         )
+
+        if reg.select("html"):
+            from oakink2_tamf_tpu.viz.html_viewer import export_html_viewer
+
+            hp = export_html_viewer(
+                os.path.join(out_dir, f"refine_{i:03d}.html"),
+                [
+                    {"name": "target (GT)", "pos": t_j[sl], "kind": "skeleton",
+                     "color": "#999999", "alpha": 0.7},
+                    {"name": "sample (G)", "pos": s_j[sl], "kind": "skeleton",
+                     "color": "#1f77b4"},
+                    {"name": "refined (R)", "pos": r_j[sl], "kind": "skeleton",
+                     "color": "#2ca02c"},
+                    {"name": "object", "pos": merged[sl], "kind": "cloud",
+                     "color": "#ff7f0e", "alpha": 0.5},
+                ],
+                title=f"refine segment {i}",
+            )
+            print(f"segment {i}: interactive viewer {hp}")
 
         mpjpe_s = float(np.linalg.norm(s_j[sl] - t_j[sl], axis=-1).mean())
         mpjpe_r = float(np.linalg.norm(r_j[sl] - t_j[sl], axis=-1).mean())

@@ -29,6 +29,8 @@ def main(argv=None):
     reg.register("refine_filepath", category=str, default="")
     reg.register("out", category=str, default="tmp/debug_sample")
     reg.register("n_samples", category=int, default=2)
+    reg.register("html", category=bool, default=False,
+                 desc="also export an interactive sample_<i>.html viewer")
     parser = argparse.ArgumentParser()
     reg.hook(parser)
     reg.parse(parser, argv)
@@ -96,6 +98,21 @@ def main(argv=None):
             joints_ref_seq=np.asarray(j_gt[i]),
             out_path=os.path.join(out_dir, f"sample_{i:03d}.png"),
         )
+        if reg.select("html"):
+            from oakink2_tamf_tpu.viz.html_viewer import export_html_viewer
+
+            export_html_viewer(
+                os.path.join(out_dir, f"sample_{i:03d}.html"),
+                [
+                    {"name": "GT hand", "pos": np.asarray(j_gt[i]),
+                     "kind": "skeleton", "color": "#999999", "alpha": 0.7},
+                    {"name": "G sample", "pos": np.asarray(j_pred[i]),
+                     "kind": "skeleton", "color": "#1f77b4"},
+                    {"name": "object", "pos": merged, "kind": "cloud",
+                     "color": "#ff7f0e", "alpha": 0.5},
+                ],
+                title=f"G sample {i}",
+            )
         print(f"wrote {out_dir}/sample_{i:03d}.png")
 
 

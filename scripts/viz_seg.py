@@ -25,6 +25,8 @@ def main(argv=None):
     reg.register("indices", category=int, is_list=True, default=[0])
     reg.register("split", category=str, default="train")
     reg.register("gif", category=bool, default=False)
+    reg.register("html", category=bool, default=False,
+                 desc="also export an interactive seg_<i>.html viewer")
     parser = argparse.ArgumentParser()
     reg.hook(parser)
     reg.parse(parser, argv)
@@ -66,6 +68,19 @@ def main(argv=None):
                 np.asarray(joints[0])[:n],
                 os.path.join(out_dir, f"seg_{idx:04d}.gif"),
                 obj_points_seq=merged,
+            )
+        if reg.select("html"):
+            from oakink2_tamf_tpu.viz.html_viewer import export_html_viewer
+
+            export_html_viewer(
+                os.path.join(out_dir, f"seg_{idx:04d}.html"),
+                [
+                    {"name": "GT hand", "pos": np.asarray(joints[0])[:n],
+                     "kind": "skeleton", "color": "#2ca02c"},
+                    {"name": "object", "pos": merged, "kind": "cloud",
+                     "color": "#ff7f0e", "alpha": 0.5},
+                ],
+                title=f"segment {idx} ({reg.select('split')})",
             )
         print(f"rendered segment {idx} -> {out_dir}")
 
