@@ -103,6 +103,11 @@ def main():
 
     if os.environ.get("BENCH_PRNG"):
         jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+    if os.environ.get("BENCH_PLATFORM"):
+        # smoke-testing the bench itself off-TPU: the image's sitecustomize
+        # pins jax_platforms="axon,cpu" at interpreter start, so the env var
+        # JAX_PLATFORMS alone cannot reach the CPU backend
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     # persistent compile cache: the three big programs (scan chain + two train
     # steps) cost minutes to compile through the TPU tunnel; repeat runs reuse
@@ -294,6 +299,59 @@ def main():
             _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit)
         except Exception as e:  # train bench is auxiliary; never sink the headline
             print(f"# train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- single-sequence latency: sequential scan vs Picard-parallel --------
+    # The serving case the reference actually runs (bs=1, launch/sample.py):
+    # the sequential chain leaves the MXU idle at bs=1, the Picard window
+    # batches `window` chain steps into each model call (core/diffusion.
+    # p_sample_loop_parallel). Emitted last: auxiliary, never the headline.
+    if os.environ.get("BENCH_LATENCY", "1") != "0" and n_dev == 1:
+        try:
+            window = int(os.environ.get("BENCH_LATENCY_WINDOW", "64"))
+            tol = float(os.environ.get("BENCH_LATENCY_TOL", "0.01"))
+
+            def sample_seq1(params, cond, key):
+                def model_fn(xx, tt):
+                    return model.apply(params, xx, tt, cond, deterministic=True)
+                return D.p_sample_loop(
+                    model_fn, sched, (1, seq_len, 99), key, clip_denoised=False)
+
+            def sample_par1(params, cond, key):
+                def model_fn(xx, tt):
+                    return model.apply(params, xx, tt, cond, deterministic=True)
+                return D.p_sample_loop_parallel(
+                    model_fn, sched, (1, seq_len, 99), key, clip_denoised=False,
+                    window=window, tol=tol, return_info=True)
+
+            seq_exe = jax.jit(sample_seq1).lower(
+                params, cond1, jax.random.PRNGKey(0)).compile()
+            _ = np.asarray(seq_exe(params, cond1, jax.random.PRNGKey(0)))
+            seq_dt = _timeit(lambda i: seq_exe(params, cond1, jax.random.PRNGKey(i)))
+            par_exe = jax.jit(sample_par1).lower(
+                params, cond1, jax.random.PRNGKey(0)).compile()
+            out1, info1 = par_exe(params, cond1, jax.random.PRNGKey(0))
+            _ = np.asarray(out1)
+            sweeps = int(np.asarray(info1["n_sweeps"]))
+
+            def _par_run(i):
+                o, _ = par_exe(params, cond1, jax.random.PRNGKey(i))
+                return o
+
+            par_dt = _timeit(_par_run)
+            extra["latency_bs1_seq_s"] = round(seq_dt, 3)
+            extra["latency_bs1_parallel_s"] = round(par_dt, 3)
+            extra["latency_parallel"] = {
+                "window": window, "tol": tol, "n_sweeps": sweeps,
+                "speedup": round(seq_dt / par_dt, 2),
+            }
+            print(
+                f"# bs=1 latency: sequential {seq_dt:.3f}s -> parallel "
+                f"{par_dt:.3f}s ({seq_dt / par_dt:.2f}x, {sweeps} sweeps of "
+                f"W={window})", file=sys.stderr,
+            )
+            emit()
+        except Exception as e:
+            print(f"# latency bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):

@@ -109,7 +109,16 @@ def reg_sample_param(reg: ConfigRegistry) -> None:
     reg.register("split", prefix="sample", category=str, default="test")
     reg.register("batch_size", prefix="sample", category=int, default=32)
     reg.register("sampler", prefix="sample", category=str, default="ddpm",
-                 choices=["ddpm", "ddim", "plms"])
+                 choices=["ddpm", "ddim", "plms", "parallel"],
+                 desc="'parallel' = Picard-window DDPM (latency-oriented; "
+                      "same chain in distribution, see sample.parallel_*)")
+    reg.register("parallel_window", prefix="sample", category=int, default=64,
+                 desc="Picard window W for sampler=parallel (one batched "
+                      "model call evaluates W steps per sweep)")
+    reg.register("parallel_tol", prefix="sample", category=float, default=0.01,
+                 desc="slide tolerance tau for sampler=parallel: positions "
+                      "advance once drift^2 <= tau^2 * posterior_variance[t]; "
+                      "0 = bit-equivalent to the sequential pinned-noise chain")
     reg.register("save_prefix", prefix="sample", category=str, default="")
     reg.register("num_shards", prefix="sample", category=int, default=0,
                  desc="0 = jax.process_count(); explicit for external launchers")

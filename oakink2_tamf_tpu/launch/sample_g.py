@@ -95,7 +95,11 @@ def main(argv=None):
             params = load_checkpoint(fp, params, strict=False)
             _logger.info("loaded model from %s", fp)
 
-    sampler = PT.make_g_sampler(model, sched, sampler=sample_cfg.get("sampler", "ddpm"), mesh=mesh)
+    sampler = PT.make_g_sampler(
+        model, sched, sampler=sample_cfg.get("sampler", "ddpm"), mesh=mesh,
+        parallel_window=int(sample_cfg.get("parallel_window", 64)),
+        parallel_tol=float(sample_cfg.get("parallel_tol", 1e-2)),
+    )
     params_r = replicate(params, mesh)
 
     # output dir

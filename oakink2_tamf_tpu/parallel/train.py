@@ -228,10 +228,15 @@ def make_g_sampler(
     *,
     sampler: str = "ddpm",
     mesh=None,
+    parallel_window: int = 64,
+    parallel_tol: float = 1e-2,
 ) -> Callable:
     """Batched reverse-diffusion sampler, jitted over the mesh. Replaces the
     reference's bs=1 sequential python loop (launch/sample.py:202-229): here
-    many segments denoise together per chip and the 1000 steps are one scan."""
+    many segments denoise together per chip and the 1000 steps are one scan.
+    sampler="parallel" runs the Picard-window chain (D.p_sample_loop_parallel)
+    — the latency-oriented path for SMALL batches, where the sequential scan
+    leaves the MXU idle and a window of steps batches into one model call."""
 
     def sample_fn(params, batch: dict[str, Any], rng: jax.Array):
         cond = g_cond_from_batch(batch)
@@ -247,6 +252,11 @@ def make_g_sampler(
             return D.ddim_sample_loop(model_fn, sched, shape, rng, clip_denoised=False)
         elif sampler == "plms":
             return D.plms_sample_loop(model_fn, sched, shape, rng, clip_denoised=False)
+        elif sampler == "parallel":
+            return D.p_sample_loop_parallel(
+                model_fn, sched, shape, rng, clip_denoised=False,
+                window=parallel_window, tol=parallel_tol,
+            )
         raise ValueError(f"unknown sampler {sampler}")
 
     if mesh is not None:

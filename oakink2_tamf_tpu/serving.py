@@ -48,6 +48,8 @@ class TamfPipeline:
     max_nobj: int = 4
     n_obj_points: int = 2048
     sampler: str = "ddpm"
+    parallel_window: int = 64
+    parallel_tol: float = 1e-2
 
     def __post_init__(self):
         self._collate = SegmentCollate(max_nobj=self.max_nobj, n_obj_points=self.n_obj_points)
@@ -64,6 +66,13 @@ class TamfPipeline:
                 sample = D.p_sample_loop(model_fn, self.sched, shape, key, clip_denoised=False)
             elif self.sampler == "ddim":
                 sample = D.ddim_sample_loop(model_fn, self.sched, shape, key, clip_denoised=False)
+            elif self.sampler == "parallel":
+                # latency-oriented small-batch serving: Picard windows batch
+                # `parallel_window` chain steps into each model call
+                sample = D.p_sample_loop_parallel(
+                    model_fn, self.sched, shape, key, clip_denoised=False,
+                    window=self.parallel_window, tol=self.parallel_tol,
+                )
             else:
                 raise ValueError(self.sampler)
             b2 = dict(batch)

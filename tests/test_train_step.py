@@ -90,6 +90,22 @@ def test_g_sampler_batched(mesh, small_g):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_g_sampler_parallel(mesh, small_g):
+    """sampler='parallel' (Picard windows) compiles over the mesh and runs the
+    real G model; numerics vs the sequential chain are in
+    tests/test_parallel_sampler.py."""
+    rng = np.random.default_rng(7)
+    batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
+    sched = D.tamf_schedule(10)
+    params = init_g(small_g, batch)
+    sampler = PT.make_g_sampler(
+        small_g, sched, sampler="parallel", mesh=mesh, parallel_window=4, parallel_tol=1e-2
+    )
+    out = sampler(replicate(params, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    assert out.shape == (8, L, 99)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_r_train_step(mesh):
     rng = np.random.default_rng(3)
     batch = synthetic_batch(rng, batch_size=8, seq_len=L, max_nobj=NOBJ, n_obj_points=P)
