@@ -66,6 +66,8 @@ class TamfPipeline:
                 sample = D.p_sample_loop(model_fn, self.sched, shape, key, clip_denoised=False)
             elif self.sampler == "ddim":
                 sample = D.ddim_sample_loop(model_fn, self.sched, shape, key, clip_denoised=False)
+            elif self.sampler == "plms":
+                sample = D.plms_sample_loop(model_fn, self.sched, shape, key, clip_denoised=False)
             elif self.sampler == "parallel":
                 # latency-oriented small-batch serving: Picard windows batch
                 # `parallel_window` chain steps into each model call
