@@ -59,6 +59,10 @@ def extract_refined_sample(
         sample = D.p_sample_loop(model_fn, sched, (bs, L, 99), key, clip_denoised=False)
     elif sampler == "ddim":
         sample = D.ddim_sample_loop(model_fn, sched, (bs, L, 99), key, clip_denoised=False)
+    elif sampler == "plms":
+        sample = D.plms_sample_loop(model_fn, sched, (bs, L, 99), key, clip_denoised=False)
+    elif sampler == "parallel":
+        sample = D.p_sample_loop_parallel(model_fn, sched, (bs, L, 99), key, clip_denoised=False)
     else:
         raise ValueError(sampler)
 
