@@ -524,7 +524,13 @@ def p_sample_loop_parallel(
         # frontier 1/sweep; cumulative sums propagate the anchor through the
         # whole window each sweep, so errors collapse in O(few) sweeps.
         new_vals = buf[0] + jnp.cumsum(y - buf[:W], axis=0)  # positions s+1..s+W
-        drift = jnp.mean(jnp.square(new_vals - buf[1:]).reshape(W, -1), axis=-1)
+        # per-SAMPLE drift, gated by the worst sample: pooling the mean over
+        # the whole batch would let converged elements mask one that still
+        # has large Picard error, sliding its chain past unconverged states
+        drift = jnp.max(
+            jnp.mean(jnp.square(new_vals - buf[1:]).reshape(W, bs, -1), axis=-1),
+            axis=-1,
+        )
         # schedule leaves are host numpy (host-constant rule): device-gather
         thresh = tol2 * jnp.take(jnp.asarray(sched.posterior_variance), ts_win)
         ok = drift <= thresh

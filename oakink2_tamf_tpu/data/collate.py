@@ -57,6 +57,17 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+# permutations are pure functions of the canonical clouds, which recur
+# identically every batch and epoch — recomputing the recursive median-split
+# per collate call kept loader threads busy for ms per cloud. Content-keyed
+# (md5 of the downsampled bytes, ~50 us) so it is safe even when the dataset
+# rebuilds arrays per __getitem__; capped FIFO (datasets hold hundreds of
+# distinct objects, not millions). Benign GIL races: worst case is one
+# duplicate computation.
+_SORT_CACHE: dict[bytes, np.ndarray] = {}
+_SORT_CACHE_MAX = 4096
+
+
 def _pad_points(point_list: Sequence[np.ndarray], n_points: int) -> np.ndarray:
     """Ragged per-object point arrays -> [nobj, n_points, 3] (subsample or pad).
 
@@ -65,6 +76,8 @@ def _pad_points(point_list: Sequence[np.ndarray], n_points: int) -> np.ndarray:
     kernels (ops/chamfer_cluster.py) cell on contiguous blocks, and rigid
     per-frame transforms preserve block membership — one sort here serves
     every frame of the segment. Pure reordering; NN distances are unchanged."""
+    import hashlib
+
     from ..utils.pc_util import spatial_sort_indices
 
     out = []
@@ -76,7 +89,14 @@ def _pad_points(point_list: Sequence[np.ndarray], n_points: int) -> np.ndarray:
         else:
             reps = int(np.ceil(n_points / max(p.shape[0], 1)))
             p = np.tile(p, (reps, 1))[:n_points]
-        out.append(p[spatial_sort_indices(p)])
+        key = hashlib.md5(np.ascontiguousarray(p).tobytes()).digest()
+        perm = _SORT_CACHE.get(key)
+        if perm is None:
+            perm = spatial_sort_indices(p)
+            if len(_SORT_CACHE) >= _SORT_CACHE_MAX:
+                _SORT_CACHE.pop(next(iter(_SORT_CACHE)))
+            _SORT_CACHE[key] = perm
+        out.append(p[perm])
     return np.stack(out, axis=0)
 
 

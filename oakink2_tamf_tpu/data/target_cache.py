@@ -229,7 +229,9 @@ class TargetH2OCache:
             h2o[bad] = exact[bad]
         return h2o
 
-    def _compute_single(self, data: dict[str, Any]) -> np.ndarray:
+    _log_label = "target_h2o cache"
+
+    def _compute_single(self, data: dict[str, Any]):
         if self._single_fn is None:
             self._single_fn = self._make_fn()
         return self._run(self._single_fn, self.collate([data]))[0]
@@ -258,13 +260,13 @@ class TargetH2OCache:
             n_real = len(samples)
             while len(samples) < self.batch_size:
                 samples.append(samples[-1])
-            h2o = self._run(self._batched_fn, self.collate(samples))
+            vals = self._run(self._batched_fn, self.collate(samples))
             for k, i in enumerate(idx[:n_real]):
-                self._store(i, h2o[k])
+                self._store(i, vals[k])
             done += n_real
         _logger.info(
-            "target_h2o cache: %d segments precomputed in %.1fs (%s)",
-            done, time.time() - t0, self.cache_dir or "in-memory",
+            "%s: %d segments precomputed in %.1fs (%s)",
+            self._log_label, done, time.time() - t0, self.cache_dir or "in-memory",
         )
         return done
 
@@ -367,36 +369,6 @@ class GTGeomCache(TargetH2OCache):
             out.append({"o2h": o2h[k, :n], "h2o": h2o[k, :n]})
         return out
 
-    def _compute_single(self, data: dict[str, Any]):
-        if self._single_fn is None:
-            self._single_fn = self._make_fn()
-        return self._run(self._single_fn, self.collate([data]))[0]
-
-    def precompute(
-        self, *, force: bool = False, shard_index: int = 0, num_shards: int = 1
-    ) -> int:
-        todo = [
-            i for i in range(len(self.base))
-            if i % num_shards == shard_index and (force or not self._has(i))
-        ]
-        if not todo:
-            return 0
-        if self._batched_fn is None:
-            self._batched_fn = self._make_fn()
-        t0 = time.time()
-        done = 0
-        for lo in range(0, len(todo), self.batch_size):
-            idx = todo[lo : lo + self.batch_size]
-            samples = [self.base[i] for i in idx]
-            n_real = len(samples)
-            while len(samples) < self.batch_size:
-                samples.append(samples[-1])
-            vals = self._run(self._batched_fn, self.collate(samples))
-            for k, i in enumerate(idx[:n_real]):
-                self._store(i, vals[k])
-            done += n_real
-        _logger.info(
-            "gt_geom cache: %d segments precomputed in %.1fs (%s)",
-            done, time.time() - t0, self.cache_dir or "in-memory",
-        )
-        return done
+    _log_label = "gt_geom cache"
+    # precompute/_compute_single inherited: they only depend on the
+    # _make_fn/_run/_store/_has hooks overridden above

@@ -146,6 +146,25 @@ def batch_recover_mano(
     return jax.vmap(single)(pose_repr, shape, hand_side)
 
 
+def _canonical_frame_operands(hand_verts, obj_traj, obj_points):
+    """Shared kernel-operand prep for the canonical-frame h2o searches:
+    moves the hand into each object's canonical frame (x' = R^T(v - t)) and
+    flattens to the [bs*nobj*L, 778, 3] x / [bs*nobj, 3, P] yT layout the
+    shared-Y kernels take. One definition so the routed distance pass and
+    the overflow certificate can never diverge in precision or layout."""
+    transf = T.tslrot6d_to_transf(obj_traj)  # [bs, nobj, L, 4, 4]
+    R = transf[..., :3, :3]  # (world_c = sum_k R[c,k] y_k)
+    t = transf[..., :3, 3]
+    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
+    diff = hand_verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
+    xc = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi)
+    bs, nobj, L, nhv, _ = xc.shape
+    P = obj_points.shape[2]
+    flat_h = xc.reshape(bs * nobj * L, nhv, 3)
+    flat_oT = jnp.swapaxes(obj_points, -1, -2).reshape(bs * nobj, 3, P)
+    return flat_h, flat_oT
+
+
 def multi_object_h2o_dist(
     hand_verts: jax.Array,  # [bs, L, 778, 3]
     hand_normals: jax.Array,  # [bs, L, 778, 3]
@@ -172,16 +191,9 @@ def multi_object_h2o_dist(
     min becomes a masked min over the per-object distances — identical by
     min(A ∪ B) = min(min A, min B)."""
     bs, L, nhv, _ = hand_verts.shape
-    nobj, P = obj_points.shape[1], obj_points.shape[2]
+    nobj = obj_points.shape[1]
 
-    transf = T.tslrot6d_to_transf(obj_traj)  # [bs, nobj, L, 4, 4]
-    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3] (world_c = sum_k R[c,k] y_k)
-    t = transf[..., :3, 3]  # [bs, nobj, L, 3]
-    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
-    diff = hand_verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
-    xc = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi)
-    flat_h = xc.reshape(bs * nobj * L, nhv, 3)
-    flat_oT = jnp.swapaxes(obj_points, -1, -2).reshape(bs * nobj, 3, P)
+    flat_h, flat_oT = _canonical_frame_operands(hand_verts, obj_traj, obj_points)
     # h2o is UNSIGNED (the reference signs only the o2h direction, which this
     # path never reads) — the hand normals do not enter; the h2o-only kernel
     # variants skip the o2h/sign work entirely on TPU. grad_y=False: the
@@ -194,8 +206,13 @@ def multi_object_h2o_dist(
     )
     h2o = h2o.reshape(bs, nobj, L, nhv)
     # padded object slots lose the union min (the reference masks their
-    # points out of the search; min over per-object mins is identical)
-    h2o = jnp.where(obj_mask[:, :, None, None], h2o, jnp.inf)
+    # points out of the search; min over per-object mins is identical).
+    # The pad sentinel must stay FINITE: a degenerate sample with obj_mask
+    # all-False would otherwise min to +inf, and inf - inf = NaN in the
+    # refine loss poisons the whole batch's gradients. 10 m is "far from
+    # everything" at the mm-scale proximity thresholds and stays a sane
+    # network input for the h2o feature.
+    h2o = jnp.where(obj_mask[:, :, None, None], h2o, jnp.float32(10.0))
     return jnp.min(h2o, axis=1)
 
 
@@ -212,15 +229,8 @@ def multi_object_h2o_overflow(
     exact (trivially zero off the cluster route). Padded object slots are
     excluded — their distances never enter the union min."""
     bs, L = hand_verts.shape[:2]
-    nobj, P = obj_points.shape[1], obj_points.shape[2]
-    transf = T.tslrot6d_to_transf(obj_traj)
-    R = transf[..., :3, :3]
-    t = transf[..., :3, 3]
-    hi = jax.lax.Precision.HIGHEST
-    diff = hand_verts[:, None] - t[:, :, :, None, :]
-    xc = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi)
-    flat_h = xc.reshape(bs * nobj * L, hand_verts.shape[2], 3)
-    flat_oT = jnp.swapaxes(obj_points, -1, -2).reshape(bs * nobj, 3, P)
+    nobj = obj_points.shape[1]
+    flat_h, flat_oT = _canonical_frame_operands(hand_verts, obj_traj, obj_points)
     ovf = G.point2point_h2o_overflow(
         flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, y_group=L
     ).reshape(bs, nobj, L)

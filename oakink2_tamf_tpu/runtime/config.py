@@ -50,9 +50,14 @@ def sync_global_timestamp() -> None:
     import numpy as np
     from jax.experimental import multihost_utils
 
-    GLOBAL_TIMESTAMP = float(
-        multihost_utils.broadcast_one_to_all(np.float64(GLOBAL_TIMESTAMP))
-    )
+    # Broadcast as two uint32 halves of integer microseconds: a float64 value
+    # gets canonicalized to float32 in transit (x64 disabled), whose ulp at
+    # t~1.7e9 is 128 s — runs started within ~2 min would collide into the
+    # SAME default exp_id, interleaving two runs in one checkpoint tree.
+    us = int(GLOBAL_TIMESTAMP * 1e6)
+    halves = np.array([us >> 32, us & 0xFFFFFFFF], dtype=np.uint32)
+    out = multihost_utils.broadcast_one_to_all(halves)
+    GLOBAL_TIMESTAMP = ((int(out[0]) << 32) | int(out[1])) / 1e6
 
 
 class Unspecified:
