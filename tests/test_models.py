@@ -137,6 +137,28 @@ def test_multi_object_h2o_pad_invariance(rng):
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
 
 
+def test_multi_object_h2o_all_masked_finite(rng):
+    """A sample with NO valid objects must yield FINITE distances (and finite
+    gradients): an inf sentinel min'd over objects produced inf - inf = NaN
+    in the refine loss, poisoning the whole batch's gradients."""
+    hv = jnp.asarray(rng.normal(size=(1, 4, 778, 3)).astype(np.float32))
+    hn = jnp.asarray(rng.normal(size=(1, 4, 778, 3)).astype(np.float32))
+    traj = jnp.asarray(rng.normal(size=(1, 2, 4, 9)).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(1, 2, P, 3)).astype(np.float32))
+    mask = jnp.asarray([[False, False]])
+    h = multi_object_h2o_dist(hv, hn, traj, pts, mask, chunk=32)
+    assert np.all(np.isfinite(np.asarray(h)))
+
+    # |h2o(x) - h2o_target| at equal sentinel values must backprop zeros,
+    # not NaN (the refine-loss dist_h shape on a degenerate sample)
+    def loss(v):
+        d = multi_object_h2o_dist(v, hn, traj, pts, mask, chunk=32)
+        return jnp.sum(jnp.abs(d - jax.lax.stop_gradient(d)))
+
+    g = jax.grad(loss)(hv)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_encoder_forward(rng):
     cfg = EncoderConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, output_dim=70)
     model = SegmentEncoder(cfg)
