@@ -93,29 +93,9 @@ N_REPS = 8  # representative points per cell/tile for the NN upper bound: one
 # scene); 8 strided reps cut the covering radius ~sqrt(8)x for surface cells
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _dot(a, b, dims):
-    """MXU matmul at HIGHEST precision (see chamfer_pallas._dot: the distance
-    expansion is cancellation-limited; per-frame centering keeps magnitudes
-    small so the ~2^-24 relative error stays below contact scales)."""
-    return jax.lax.dot_general(
-        a, b, (dims, ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _cost(flops: float, *arrays) -> "pl.CostEstimate":
-    return pl.CostEstimate(
-        flops=int(flops),
-        transcendentals=0,
-        bytes_accessed=int(
-            sum(a.size * a.dtype.itemsize for a in arrays if a is not None)
-        ),
-    )
+# shared numerics/cost helpers: ONE definition so a precision or cost-model
+# fix in the all-pairs module can never silently diverge from this one
+from .chamfer_pallas import _cost, _dot, _round_up  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +147,11 @@ class _XPerm:
                     f"x_perm shape {p.shape} != ({self.P1},) — pass the "
                     "template-space permutation of the x point set"
                 )
+            if not np.array_equal(np.sort(p), np.arange(self.P1)):
+                # duplicates/out-of-range indices would gather some verts
+                # multiple times and make argsort(p) a meaningless inverse —
+                # silently wrong distances, so refuse
+                raise ValueError("x_perm is not a permutation of arange(P1)")
             self.static = p
             self.static_inv = np.argsort(p)
             self.perm = None
@@ -245,15 +230,27 @@ def _cell_stats_T(yT: jax.Array, y_valid: jax.Array, n_reps: int = N_REPS):
 
 def _chunked_frames(fn, F: int, chunk: int, *args):
     """lax.map `fn` (vmapped over frames) over F in `chunk`-frame slabs so the
-    [chunk, P1, C] intermediates never materialize at full F."""
+    [chunk, P1, C] intermediates never materialize at full F. A non-dividing
+    remainder runs as ONE smaller slab (a second trace of fn) instead of
+    padding F up — padding to a 256-frame multiple ran the full selection
+    compute on up to chunk-1 garbage frames (F=257 would nearly double it)."""
     chunk = min(chunk, F)
-    Fp = _round_up(F, chunk)
-    if Fp != F:
-        args = tuple(jnp.pad(a, ((0, Fp - F),) + ((0, 0),) * (a.ndim - 1)) for a in args)
-    shaped = tuple(a.reshape((Fp // chunk, chunk) + a.shape[1:]) for a in args)
-    out = jax.lax.map(lambda sl: jax.vmap(fn)(*sl), shaped)
-    out = jax.tree.map(lambda o: o.reshape((Fp,) + o.shape[2:])[:F], out)
-    return out
+    n_full = F // chunk
+    rem = F - n_full * chunk
+    outs = []
+    if n_full:
+        head = tuple(
+            a[: n_full * chunk].reshape((n_full, chunk) + a.shape[1:]) for a in args
+        )
+        out = jax.lax.map(lambda sl: jax.vmap(fn)(*sl), head)
+        outs.append(
+            jax.tree.map(lambda o: o.reshape((n_full * chunk,) + o.shape[2:]), out)
+        )
+    if rem:
+        outs.append(jax.vmap(fn)(*(a[n_full * chunk :] for a in args)))
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), *outs)
 
 
 def _h2o_select(
@@ -385,7 +382,12 @@ def _o2h_select(
 
 
 def _as_yT(y, yT, y_valid):
-    """Accept either layout; prefer the caller's coordinate-major yT."""
+    """Accept either layout (exactly one of y [F,P2,3] / yT [F,3,P2])."""
+    if (y is None) == (yT is None):
+        raise ValueError(
+            "pass exactly one of y ([F, P2, 3]) or yT ([F, 3, P2])"
+            + ("; got both" if y is not None else "; got neither")
+        )
     if yT is None:
         yT = jnp.swapaxes(y.astype(jnp.float32), 1, 2)  # one-time 42x-padded read
     else:
@@ -854,8 +856,16 @@ def _signed_cluster_forward(
     na_tiles = na.reshape(F, 5, T, 128).swapaxes(1, 2)
 
     cidx, _ = _h2o_select(xTc, x_valid, centers, radius, reps, nonempty, K)
-    xc, xr_, xp_, xne = _x_tile_stats(xTc, x_valid)
-    cidx_y, _ = _o2h_select(yTc, yv_pad, xc, xr_, xp_, xne, Kx)
+    if Kx == T:
+        # exact o2h (the default k_tiles=0): every tile is a candidate, so
+        # the margin/top_k selection would burn R+1 full [P2p, T] distance
+        # passes per frame only to return 0..T-1
+        cidx_y = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, None, :], (F, C, T)
+        )
+    else:
+        xc, xr_, xp_, xne = _x_tile_stats(xTc, x_valid)
+        cidx_y, _ = _o2h_select(yTc, yv_pad, xc, xr_, xp_, xne, Kx)
 
     # h2o direction: same kernel as the h2o-only path
     grid_spec_h = pltpu.PrefetchScalarGridSpec(
@@ -1159,8 +1169,12 @@ def h2o_cluster_overflow(
     k_cells: int = K_CELLS_DEFAULT, y_group: int = 1,
 ) -> jax.Array:
     """Per-frame count of x tiles whose qualifying-cell count exceeds
-    `k_cells` [F] i32 — zero everywhere PROVES point2point_h2o_cluster was
-    exact for these operands. Recomputes stage 1 only (cheap, no kernel)."""
+    `k_cells` [F] i32 — zero everywhere PROVES point2point_h2o_cluster's
+    DISTANCES (and hence gradients) were exact for these operands. Index
+    outputs can still differ from the all-pairs kernel when two y points tie
+    at exactly the same distance (candidates are visited in margin order with
+    a strict '<' update; the all-pairs argmin breaks ties by global index).
+    Recomputes stage 1 only (cheap, no kernel)."""
     yTv, y_valid = _as_yT(y, yT, y_valid)
     xTs, xp, x_valid = _apply_perm_pad(x, x_perm)
     _, _, xTc, _, _, centers, radius, reps, nonempty, (F, P2, P2p, C) = (
@@ -1181,7 +1195,9 @@ def signed_cluster_overflow(
     k_cells: int = K_CELLS_DEFAULT, k_tiles: int = K_TILES_DEFAULT,
 ) -> tuple[jax.Array, jax.Array]:
     """(h2o_overflow [F], o2h_overflow [F]) i32 counts; both zero PROVES
-    point2point_signed_cluster was exact for these operands."""
+    point2point_signed_cluster's distances/signs/gradients were exact for
+    these operands (index outputs may differ from the all-pairs kernel under
+    exact fp distance ties — see h2o_cluster_overflow)."""
     yTv, y_valid = _as_yT(y, yT, y_valid)
     xTs, xp, x_valid = _apply_perm_pad(x, x_perm)
     _, _, xTc, yTc, yv_pad, centers, radius, reps, nonempty, (F, P2, P2p, C) = (
@@ -1191,9 +1207,13 @@ def signed_cluster_overflow(
     _, ovf_h = _h2o_select(
         xTc, x_valid, centers, radius, reps, nonempty, min(k_cells, C)
     )
-    xc, xr_, xp_, xne = _x_tile_stats(xTc, x_valid)
     kt = T if k_tiles <= 0 else min(k_tiles, T)
-    _, ovf_o = _o2h_select(yTc, yv_pad, xc, xr_, xp_, xne, kt)
+    if kt == T:
+        # needed <= T = kt always: o2h overflow is impossible by construction
+        ovf_o = jnp.zeros((F, C), bool)
+    else:
+        xc, xr_, xp_, xne = _x_tile_stats(xTc, x_valid)
+        _, ovf_o = _o2h_select(yTc, yv_pad, xc, xr_, xp_, xne, kt)
     return (
         jnp.sum(ovf_h.astype(jnp.int32), axis=1),
         jnp.sum(ovf_o.astype(jnp.int32), axis=1),

@@ -241,7 +241,10 @@ def _prep_operands(x, y, y_valid, x_normals, tile, y_group=1):
     Fp = _round_up(F, fb)
     if Fp != F:
         fpad = ((0, Fp - F), (0, 0), (0, 0))
-        # pad frames: all-BIG xsq rows make their outputs garbage; sliced off
+        # pad frames are ZERO rows (jnp.pad default) — their outputs are
+        # arbitrary and sliced off by the callers; dead today (fb=1 so
+        # Fp == F), but if _frame_block is ever retuned > 1, do NOT rely on
+        # pad frames losing comparisons
         xa = jnp.pad(xa, fpad)
         if y_group == 1:
             ya = jnp.pad(ya, fpad)
