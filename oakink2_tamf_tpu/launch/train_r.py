@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..core import mano as M
 from ..data.adaptors import ConcatDataset, GaussianPerturbSampleAdaptor, GeneratedPoseReprSampleAdaptor
@@ -186,6 +187,16 @@ def main(argv=None):
         )
     )
 
+    # live cluster-exactness certificate (round-3 verdict #2): the h2o pass
+    # auto-routes to the cluster-pruned kernel on TPU at P >= 4096 with a
+    # candidate budget tuned on grasp scenes (ops/chamfer_cluster.py:82-101);
+    # a training distribution that drifts outside that regime would silently
+    # OVERESTIMATE h2o. One val batch per eval pass re-runs the (cheap,
+    # stage-1-only) selection and warns above zero.
+    ovf_fn = jax.jit(
+        lambda b: make_overflow_probe(mano_stack, chunk=chunk)(b)
+    )
+
     num_epoch = int(train_cfg.get("num_epoch", 400))
     record_freq = int(train_cfg.get("record_freq", 20))
     key = jax.random.PRNGKey(int(reg.select("runtime").get("seed", 0)))
@@ -240,8 +251,15 @@ def main(argv=None):
                 for bi, b in enumerate(eval_loader):
                     if emax and bi >= emax:
                         break
-                    loss, _ = eval_fn(state.params, shard_batch(common.device_batch(b), mesh))
+                    sb = shard_batch(common.device_batch(b), mesh)
+                    loss, _ = eval_fn(state.params, sb)
                     losses.append(float(jax.device_get(loss)))
+                    if bi == 0:
+                        report_cluster_overflow(
+                            ovf_fn, sb, split, epoch_id,
+                            writer if is_coordinator() else None,
+                            global_step,
+                        )
                 if losses and is_coordinator():
                     _logger.info("%s epoch %04d refine loss: %f", split, epoch_id, np.mean(losses))
                     writer.add_scalar(f"{split}/loss", float(np.mean(losses)), global_step)
@@ -254,6 +272,52 @@ def refine_forward_eval(net, params, mano_stack, batch):
     from ..models.refine_r import refine_forward
 
     return refine_forward(net, params, mano_stack, batch, deterministic=True)
+
+
+def make_overflow_probe(mano_stack, *, chunk: int = 2048, backend: str = "auto"):
+    """Batch -> total cluster-overflow count (scalar i32) for the exact h2o
+    operands the refine pass searches (the SAMPLE hand — R's live input
+    distribution). Zero PROVES the auto-routed cluster distances were exact;
+    trivially zero off the cluster route. `backend="cluster"` forces the
+    certificate on CPU (tests)."""
+    from ..models.refine_r import batch_recover_mano, multi_object_h2o_overflow
+
+    x_perm = M.hand_template_perm(mano_stack)
+
+    def probe(b):
+        verts, _, _ = batch_recover_mano(
+            mano_stack, b["sample_pose_repr"], b["shape"], b["hand_side"]
+        )
+        ovf = multi_object_h2o_overflow(
+            verts, b["obj_traj"], b["obj_points"], b["obj_mask"],
+            chunk=chunk, x_perm=x_perm, backend=backend,
+        )
+        return jnp.sum(ovf)
+
+    return probe
+
+
+def report_cluster_overflow(ovf_fn, sbatch, split, epoch_id, writer, step) -> int:
+    """Run the overflow probe on one val batch; INFO at zero, WARNING above
+    (h2o distances were overestimated — retune k_cells or force
+    backend='exact'). Returns the count."""
+    count = int(jax.device_get(ovf_fn(sbatch)))
+    if count > 0:
+        _logger.warning(
+            "%s epoch %04d: cluster NN overflow on val batch — %d x-tiles "
+            "exceeded the candidate budget; h2o distances in this regime are "
+            "OVERESTIMATED. Retune ops/chamfer_cluster k_cells or route "
+            "backend='exact'.",
+            split, epoch_id, count,
+        )
+    else:
+        _logger.info(
+            "%s epoch %04d: cluster-exactness certificate ok (0 overflow)",
+            split, epoch_id,
+        )
+    if writer is not None:
+        writer.add_scalar(f"{split}/h2o_cluster_overflow", float(count), step)
+    return count
 
 
 if __name__ == "__main__":

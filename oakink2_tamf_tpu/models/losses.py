@@ -117,6 +117,31 @@ def _edges(verts: jax.Array, vpe: jax.Array) -> jax.Array:
     return jnp.take(verts, vpe[:, 0], axis=-2) - jnp.take(verts, vpe[:, 1], axis=-2)
 
 
+def _canonical_operands(
+    verts: jax.Array,  # [bs, L, 778, 3] world-frame hand verts
+    normals: jax.Array,  # [bs, L, 778, 3]
+    transf: jax.Array,  # [bs, nobj, L, 4, 4] canonical->world rigid transforms
+    obj_points: jax.Array,  # [bs, nobj, P, 3] CANONICAL clouds
+):
+    """Canonical-frame kernel operands shared by the composed and fused dist
+    paths: the HAND moves into each object's canonical frame (x' = R^T(v-t))
+    and the normals rotate with R^T. Returns (x [F,778,3], n [F,778,3],
+    yT [bs*nobj,3,P]) with F = bs*nobj*L (shared-Y mode: y_group = L)."""
+    bs, nobj, L = transf.shape[:3]
+    P = obj_points.shape[2]
+    vh = verts.shape[2]
+    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3] (world_c = sum_k R[c,k] y_k)
+    t = transf[..., :3, 3]  # [bs, nobj, L, 3]
+    diff = verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
+    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
+    x = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi).reshape(-1, vh, 3)
+    n = jnp.einsum(
+        "bolck,blvc->bolvk", R, normals, precision=hi
+    ).reshape(-1, vh, 3)
+    yT = jnp.swapaxes(obj_points, -1, -2).reshape(-1, 3, P)  # [bs*nobj, 3, P]
+    return x, n, yT
+
+
 def _per_object_signed(
     verts: jax.Array,  # [bs, L, 778, 3] world-frame hand verts
     normals: jax.Array,  # [bs, L, 778, 3]
@@ -138,21 +163,42 @@ def _per_object_signed(
     bs, nobj, L = transf.shape[:3]
     P = obj_points.shape[2]
     vh = verts.shape[2]
-    R = transf[..., :3, :3]  # [bs, nobj, L, 3, 3] (world_c = sum_k R[c,k] y_k)
-    t = transf[..., :3, 3]  # [bs, nobj, L, 3]
-    diff = verts[:, None] - t[:, :, :, None, :]  # [bs, nobj, L, 778, 3]
-    hi = jax.lax.Precision.HIGHEST  # near-contact distances are ~5e-3 m
-    x = jnp.einsum("bolck,bolvc->bolvk", R, diff, precision=hi).reshape(-1, vh, 3)
-    n = jnp.einsum(
-        "bolck,blvc->bolvk", R, normals, precision=hi
-    ).reshape(-1, vh, 3)
-    yT = jnp.swapaxes(obj_points, -1, -2).reshape(-1, 3, P)  # [bs*nobj, 3, P]
+    x, n, yT = _canonical_operands(verts, normals, transf, obj_points)
     # grad_y=False: the clouds are batch-derived — never on the path to model
     # params — so the backward kernels drop their gy work entirely
     o2h, h2o, _ = G.point2point_signed(
         x, x_normals=n, yT=yT, chunk=chunk, grad_y=False, y_group=L
     )
     return o2h.reshape(bs, nobj, L, P), h2o.reshape(bs, nobj, L, vh)
+
+
+def _dist_sums_fused(
+    verts: jax.Array,  # [bs, L, 778, 3] PREDICTED world-frame hand verts
+    normals: jax.Array,  # [bs, L, 778, 3]
+    transf: jax.Array,  # [bs, nobj, L, 4, 4]
+    obj_points: jax.Array,  # [bs, nobj, P, 3]
+    o2h_g: jax.Array,  # [bs, nobj, L, P] GT signed o2h (cache or GT pass)
+    h2o_g: jax.Array,  # [bs, nobj, L, 778]
+    vw2: jax.Array,  # [778] v_weights2
+    chunk: int,
+    interpret: bool = False,
+):
+    """Fused dist_o/dist_h per-frame SUMS via ops/chamfer_loss: the predicted
+    signed field never materializes and its gradient is computed in the same
+    kernel pass (measured: replaces the composed pred fwd+bwd — ~5 full-rate
+    MXU passes/block — with 3). Returns (do_f, dh_f) both [bs, nobj, L]."""
+    from ..ops import chamfer_loss as CL
+
+    bs, nobj, L = transf.shape[:3]
+    P = obj_points.shape[2]
+    vh = verts.shape[2]
+    x, n, yT = _canonical_operands(verts, normals, transf, obj_points)
+    do_f, dh_f = CL.chamfer_dist_loss(
+        x, n, yT=yT,
+        o2h_g=o2h_g.reshape(-1, P), h2o_g=h2o_g.reshape(-1, vh), vw2=vw2,
+        y_group=L, tile=G._clamp_tile(chunk, P), interpret=interpret,
+    )
+    return do_f.reshape(bs, nobj, L), dh_f.reshape(bs, nobj, L)
 
 
 def extra_loss_gt_geometry(
@@ -194,10 +240,19 @@ def interaction_segment_extra_loss(
     *,
     chunk: int = 2048,
     gt_geom: dict[str, jax.Array] | None = None,
+    dist_impl: str = "auto",
+    interpret: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """G's geometric losses (ref extra_loss.py:85-197), fully batched.
     Pass `gt_geom` (from extra_loss_gt_geometry) to reuse a precomputed GT
-    branch (the train step computes it outside the grad closure)."""
+    branch (the train step computes it outside the grad closure).
+
+    dist_impl routes the PREDICTED-side dist_h/dist_o pass: "fused" uses the
+    single-pass loss kernel (ops/chamfer_loss — fwd + grad together, the
+    signed field never materializes), "composed" the point2point_signed
+    pipeline, "auto" = fused on TPU (measured faster at every tested shape),
+    composed elsewhere. Both compute the same math; only summation order
+    differs (parity-tested in tests/test_chamfer_loss.py)."""
     mask = batch["mask"]  # [bs, L]
     L = mask.shape[1]
     mask_coef = L / jnp.maximum(jnp.sum(mask, axis=1), 1.0)  # [bs]
@@ -254,26 +309,39 @@ def interaction_segment_extra_loss(
     if need_chamfer:
         o2h_g, h2o_g = gt_geom["o2h_g"], gt_geom["h2o_g"]
         transf = T.tslrot6d_to_transf(batch["obj_traj"])  # cheap [bs,nobj,L,4,4]
-        o2h_p, h2o_p = _per_object_signed(
-            verts_pred, normals_pred, transf, batch["obj_points"], chunk
-        )
 
         obj_mask = batch["obj_mask"].astype(mask.dtype)  # [bs, nobj]
         num_obj = jnp.maximum(jnp.sum(obj_mask, axis=1), 1.0)  # [bs]
         om = obj_mask / num_obj[:, None]  # 1/num_obj weights, 0 for pads
 
-        # dist_h: | |h2o| - |h2o_gt| | * v_weights2, masked mean over (L, 778)
-        dh = jnp.abs(jnp.abs(h2o_p) - jnp.abs(h2o_g)) * assets.v_weights2[None, None, None, :]
-        dh = dh * mask[:, None, :, None]
-        dh = jnp.mean(dh, axis=(2, 3))  # [bs, nobj]
-        terms["dist_h"] = jnp.sum(mask_coef * jnp.sum(dh * om, axis=1))
+        use_fused = dist_impl == "fused" or (dist_impl == "auto" and G._on_tpu())
+        if use_fused:
+            P = batch["obj_points"].shape[2]
+            do_f, dh_f = _dist_sums_fused(
+                verts_pred, normals_pred, transf, batch["obj_points"],
+                o2h_g, h2o_g, assets.v_weights2, chunk, interpret=interpret,
+            )
+            vh = verts_pred.shape[2]
+            m3 = mask[:, None, :]  # [bs, 1, L]
+            dh = jnp.sum(dh_f * m3, axis=2) / (L * vh)  # [bs, nobj]
+            do = jnp.sum(do_f * m3, axis=2) / (L * P)
+        else:
+            o2h_p, h2o_p = _per_object_signed(
+                verts_pred, normals_pred, transf, batch["obj_points"], chunk
+            )
+            # dist_h: | |h2o| - |h2o_gt| | * v_weights2, masked mean over (L, 778)
+            dh = jnp.abs(jnp.abs(h2o_p) - jnp.abs(h2o_g)) * assets.v_weights2[None, None, None, :]
+            dh = dh * mask[:, None, :, None]
+            dh = jnp.mean(dh, axis=(2, 3))  # [bs, nobj]
 
-        # dist_o: proximity/penetration-weighted |o2h - o2h_gt|
-        w_dist = (o2h_g < 0.01) & (o2h_g > -0.005)
-        w = jnp.where(w_dist, 1.0, 0.1)
-        w = jnp.where(o2h_p < 0.0, 1.5, w)
-        do = jnp.abs(o2h_p - o2h_g) * w * mask[:, None, :, None]
-        do = jnp.mean(do, axis=(2, 3))  # [bs, nobj]
+            # dist_o: proximity/penetration-weighted |o2h - o2h_gt|
+            w_dist = (o2h_g < 0.01) & (o2h_g > -0.005)
+            w = jnp.where(w_dist, 1.0, 0.1)
+            w = jnp.where(o2h_p < 0.0, 1.5, w)
+            do = jnp.abs(o2h_p - o2h_g) * w * mask[:, None, :, None]
+            do = jnp.mean(do, axis=(2, 3))  # [bs, nobj]
+
+        terms["dist_h"] = jnp.sum(mask_coef * jnp.sum(dh * om, axis=1))
         terms["dist_o"] = jnp.sum(mask_coef * jnp.sum(do * om, axis=1))
     else:
         terms["dist_h"] = jnp.asarray(0.0)

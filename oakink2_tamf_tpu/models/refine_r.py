@@ -223,6 +223,7 @@ def multi_object_h2o_overflow(
     obj_mask: jax.Array,  # [bs, nobj] bool
     chunk: int = 2048,
     x_perm=None,
+    backend: str = "auto",  # "cluster" forces the certificate off-TPU (tests)
 ) -> jax.Array:
     """Per-sample cluster-overflow counts [bs] i32 for the exact operands
     multi_object_h2o_dist searches: zero PROVES its auto-routed result is
@@ -232,7 +233,8 @@ def multi_object_h2o_overflow(
     nobj = obj_points.shape[1]
     flat_h, flat_oT = _canonical_frame_operands(hand_verts, obj_traj, obj_points)
     ovf = G.point2point_h2o_overflow(
-        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, y_group=L
+        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, y_group=L,
+        backend=backend,
     ).reshape(bs, nobj, L)
     ovf = jnp.where(obj_mask[:, :, None], ovf, 0)
     return jnp.sum(ovf, axis=(1, 2))

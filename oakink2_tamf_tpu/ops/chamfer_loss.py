@@ -1,0 +1,311 @@
+"""Fused distance-LOSS Pallas kernel for G's geometric extra losses.
+
+The G train step's chamfer cost (reference extra_loss.py:146-178) is the
+signed bidirectional pass over [F=bs*nobj*L, 778] hand verts x [P2=8192]
+object points. Round-3 measured the composed pipeline (ops/chamfer_pallas
+forward + custom-VJP backward) at 7.06 s of the 7.33 s production G step:
+the o2h direction has F x P2 outputs per pass and each [P1p, TILE] MXU block
+is OUTPUT-RATE-bound (a [128,128] output tile costs a full systolic pass
+regardless of K), so the composed path pays ~5 full-rate passes per
+(frame, tile) block: fwd distance + fwd sign matmul, then bwd x_nn one-hot,
+bwd gx contraction, bwd y_at one-hot.
+
+This kernel exploits that the loss CONSUMES only two scalars per frame
+(dist_h = sum_i |(|h2o_i|) - (|h2o_g_i|)| * vw2_i and
+ dist_o = sum_j |o2h_j - o2h_g_j| * w_j) plus their gradients w.r.t. the
+hand verts — the [F, P2] signed field itself is never needed. So ONE pass
+per (frame, tile) computes forward AND gradient together:
+
+  1. d  = xa^T ya                 (MXU, the unavoidable distance pass)
+  2. sel = [x; n] @ M_onehot      (MXU, 6 rows ride one pass: the o2h
+                                   nearest-x coordinates AND its normal —
+                                   this replaces the full [P1p,TILE] sign
+                                   matmul of the composed forward)
+  3. gx_do += u @ M^T             (MXU, the dist_o gradient contraction)
+
+plus VPU work that overlaps the MXU: min/argmin reductions, the dist_o
+weights/partials, and the h2o side carried across tiles in VMEM scratch —
+running min + the nearest-y COORDINATES selected by a VPU one-hot (so the
+composed backward's y_at one-hot matmul is gone entirely). 3 full-rate MXU
+passes replace 5, the backward kernel and its operand re-streaming vanish,
+and the custom VJP is two per-frame-scalar multiplies against the stored
+gx arrays.
+
+Semantics are bit-compatible with the composed path in models/losses.py
+(same augmented-matmul distances, same first-min argmin ties, same
+sign/weight rules, same eps guards); summation ORDER differs (in-kernel
+per-tile sums vs XLA means), so tests compare at rtol.
+
+Gradient convention (torch parity, as in ops/chamfer_pallas): nearest-
+neighbor indices, sign(), and the weight selections are treated as
+constants of the backward — exactly the gradient torch autograd produces
+through the reference's CUDA chamfer + gather + where formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chamfer_pallas import BIG, _cost, _dot, _prep_operands, _round_up
+
+
+def _dist_loss_kernel(
+    xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
+    v_ref, dh_ref, gxdo_ref, gxdh_ref,
+    h2od_s, yat_s, gxdo_s,
+):
+    """One (frame, y-tile) grid step of the fused loss pass.
+
+    xa_ref: [1, 5, P1p] augmented hand verts (see chamfer_pallas._nn_kernel;
+            pad lanes carry ||x||^2 = +BIG and never win any argmin)
+    xn_ref: [1, 6, P1p] stacked [centered x; normals] coordinate rows
+    ya_ref: [1, 5, tile] augmented object tile (invalid columns: ysq=+BIG)
+    og_ref: [1, 1, tile] GT signed o2h distances (cache or GT-pass output)
+    hg_ref: [1, 1, P1p]  GT h2o distances (pad lanes 0)
+    vw_ref: [1, 1, P1p]  v_weights2 contact weights (pad lanes 0 — this is
+            what excludes pad x-lanes from dist_h and its gradient)
+    v_ref:  [1, 1, tile] per-point dist_o integrand |o2h-o2h_g|*w (OUT, per tile)
+    dh_ref: [1, 1, P1p]  per-vert dist_h integrand (OUT, written at last tile)
+    gxdo_ref/gxdh_ref: [1, 3, P1p] d(dist_o)/dx, d(dist_h)/dx coordinate rows
+            (OUT, written at last tile; caller scales by per-frame cotangents)
+    h2od_s: [1, P1p] scratch — running h2o min sq-dist across tiles
+    yat_s:  [3, P1p] scratch — nearest-y COORDINATES at the running argmin
+    gxdo_s: [3, P1p] scratch — gx_do accumulator
+    """
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    tile = ya_ref.shape[2]
+    P1p = xa_ref.shape[2]
+
+    xa = xa_ref[0]  # [5, P1p]
+    ya = ya_ref[0]  # [5, tile]
+    xn = xn_ref[0]  # [6, P1p]
+    xt = xn[0:3]  # centered x coordinates [3, P1p]
+    yt = ya[0:3]  # centered y coordinates [3, tile]
+
+    # 1) pairwise squared distances on the MXU (identical formulation to the
+    #    composed forward: same operands, HIGHEST precision)
+    d = _dot(xa, ya, ((0,), (0,)))  # [P1p, tile]
+
+    # ---- o2h direction: per-y argmin over x (each y lives in ONE tile) ----
+    o2h_arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [tile]
+    o2h_d = jnp.min(d, axis=0)  # [tile]
+    dist = jnp.sqrt(jnp.maximum(o2h_d, 0.0))
+    valid = (ya[4, :] < BIG * 0.5).astype(jnp.float32)  # [tile]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 0)
+    Mf = (rows == o2h_arg[None, :]).astype(jnp.float32)  # [P1p, tile]
+
+    # 2) nearest-x coordinates AND normal in one K=P1p pass (6 rows <= one
+    #    sublane tile — same MXU cost as selecting either alone)
+    sel = _dot(xn, Mf, ((1,), (0,)))  # [6, tile]
+    x_nn = sel[0:3]
+    n_at = sel[3:6]
+    sdot = jnp.sum(n_at * (yt - x_nn), axis=0)  # sign numerator [tile]
+    sign = jnp.sign(sdot)
+    o2h_p = dist * sign * valid  # wrapper parity: invalid columns -> 0
+
+    og = og_ref[0, 0, :]  # [tile]
+    band = jnp.logical_and(og < 0.01, og > -0.005)
+    w = jnp.where(band, 1.0, 0.1)
+    w = jnp.where(o2h_p < 0.0, 1.5, w)  # penetration (extra_loss.py:159-162)
+    diff = o2h_p - og
+    v_ref[0, 0, :] = jnp.abs(diff) * w * valid
+
+    # dist_o gradient rows: u_j = c_j * (x_{i*} - y_j) with
+    # c_j = w * sgn(diff) * sign / max(dist, eps)  (eps guard = composed VJP)
+    coef = w * jnp.sign(diff) * sign * valid / jnp.maximum(dist, 1e-12)
+    u = coef[None, :] * (x_nn - yt)  # [3, tile]
+    # 3) scatter-to-x as a one-hot contraction over the tile axis
+    gpart = _dot(u, Mf, ((1,), (1,)))  # [3, P1p]
+
+    # ---- h2o direction: running min + nearest-y coords carried in scratch --
+    tile_min = jnp.min(d, axis=1)  # [P1p]
+    targ = jnp.argmin(d, axis=1).astype(jnp.int32)  # [P1p]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 1)
+    M2 = (cols == targ[:, None]).astype(jnp.float32)  # [P1p, tile]
+    # y coords at the tile-local argmin, per x lane (VPU masked lane-reduce —
+    # replaces the composed backward's K=tile one-hot MXU pass)
+    ysel0 = jnp.sum(M2 * yt[0, :][None, :], axis=1)  # [P1p]
+    ysel1 = jnp.sum(M2 * yt[1, :][None, :], axis=1)
+    ysel2 = jnp.sum(M2 * yt[2, :][None, :], axis=1)
+
+    @pl.when(c == 0)
+    def _():
+        gxdo_s[:, :] = gpart
+        h2od_s[0, :] = tile_min
+        yat_s[0, :] = ysel0
+        yat_s[1, :] = ysel1
+        yat_s[2, :] = ysel2
+
+    @pl.when(c > 0)
+    def _():
+        gxdo_s[:, :] += gpart
+        prev = h2od_s[0, :]
+        upd = tile_min < prev
+        h2od_s[0, :] = jnp.where(upd, tile_min, prev)
+        yat_s[0, :] = jnp.where(upd, ysel0, yat_s[0, :])
+        yat_s[1, :] = jnp.where(upd, ysel1, yat_s[1, :])
+        yat_s[2, :] = jnp.where(upd, ysel2, yat_s[2, :])
+
+    @pl.when(c == nc - 1)
+    def _():
+        gxdo_ref[0] = gxdo_s[:, :]
+        hd = jnp.sqrt(jnp.maximum(h2od_s[0, :], 0.0))  # [P1p]
+        hg = jnp.abs(hg_ref[0, 0, :])
+        vw = vw_ref[0, 0, :]
+        dh_ref[0, 0, :] = jnp.abs(hd - hg) * vw
+        cfh = vw * jnp.sign(hd - hg) / jnp.maximum(hd, 1e-12)  # [P1p]
+        gxdh_ref[0, 0, :] = cfh * (xt[0] - yat_s[0, :])
+        gxdh_ref[0, 1, :] = cfh * (xt[1] - yat_s[1, :])
+        gxdh_ref[0, 2, :] = cfh * (xt[2] - yat_s[2, :])
+
+
+def _dist_loss_forward(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
+    """Run the fused kernel. Returns (v_rows [F,P2], dh_rows [F,P1],
+    gx_do [F,3,P1p], gx_dh [F,3,P1p]) — gx rows stay kernel-layout; the VJP
+    scales and transposes them once."""
+    xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
+        x, y, y_valid, n, tile, y_group
+    )
+    assert fb == 1 and Fp == F  # _frame_block is pinned to 1 (measured)
+    # [centered x; normals]: xa rows 0:3 are -2x, na rows 0:3 are the normals
+    xn = jnp.concatenate([xa[:, 0:3, :] * -0.5, na[:, 0:3, :]], axis=1)
+
+    og = o2h_g.astype(jnp.float32)
+    hg = h2o_g.astype(jnp.float32)
+    if P2p != P2:
+        og = jnp.pad(og, ((0, 0), (0, P2p - P2)))
+    if P1p != P1:
+        hg = jnp.pad(hg, ((0, 0), (0, P1p - P1)))
+    og = og[:, None, :]  # [F, 1, P2p]
+    hg = hg[:, None, :]  # [F, 1, P1p]
+    vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
+
+    n_tiles = P2p // tile
+    grid = (F, n_tiles)
+    _ya_spec = pl.BlockSpec(
+        (1, 5, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
+    v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
+        _dist_loss_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            _ya_spec,
+            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, P1p), jnp.float32),
+            pltpu.VMEM((3, P1p), jnp.float32),
+            pltpu.VMEM((3, P1p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(16 * F * P1p * P2p, xa, xn, ya, og, hg),
+        interpret=interpret,
+    )(xa, xn, ya, og, hg, vw)
+    return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
+
+
+def chamfer_dist_loss(
+    x: jax.Array,  # [F, P1, 3] hand verts (canonical object frames)
+    x_normals: jax.Array,  # [F, P1, 3]
+    y: jax.Array | None = None,  # [G, P2, 3] shared canonical clouds
+    o2h_g: jax.Array = None,  # [F, P2] GT signed o2h (cache or GT pass)
+    h2o_g: jax.Array = None,  # [F, P1] GT h2o distances
+    vw2: jax.Array = None,  # [P1] v_weights2 contact weights
+    y_valid: jax.Array | None = None,  # [G, P2] bool
+    *,
+    yT: jax.Array | None = None,  # [G, 3, P2] coordinate-major alternative
+    y_group: int = 1,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused dist_o/dist_h loss partials: returns (do_f [F], dh_f [F]) where
+
+      do_f = sum_j |o2h_p_j - o2h_g_j| * w_j           (w: 1.5/1.0/0.1 rule)
+      dh_f = sum_i ||h2o_p_i| - |h2o_g_i|| * vw2_i
+
+    — the raw per-frame SUMS of models/losses.py's dist integrands (the
+    caller applies frame masks, 1/(L*P) means, per-object weights). The
+    [F, P2] signed field is never materialized. Differentiable w.r.t. x via
+    a custom VJP whose backward is two per-frame-scalar multiplies against
+    gradient rows computed IN the forward pass (see module docstring).
+    y_group: frame f searches cloud f // y_group (shared-Y mode, as in
+    chamfer_pallas._prep_operands)."""
+    if y is None:
+        y = jnp.swapaxes(yT, 1, 2)
+    return _dl_core(
+        x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
+    out, _ = _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group)
+    return out
+
+
+def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
+    v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward(
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group
+    )
+    do_f = jnp.sum(v_rows, axis=1)
+    dh_f = jnp.sum(dh_rows, axis=1)
+
+    # keep the gradient rows across a surrounding jax.checkpoint remat (the
+    # G train step's policy saves "chamfer_res": the backward never re-runs
+    # this kernel — same contract as chamfer_pallas._p2ps_fwd)
+    from jax.ad_checkpoint import checkpoint_name
+
+    gx_do = checkpoint_name(gx_do, "chamfer_res")
+    gx_dh = checkpoint_name(gx_dh, "chamfer_res")
+    # residuals hold ONLY the gradient rows + shape/dtype structs for the
+    # zero cotangents (never the multi-hundred-MB GT fields themselves)
+    structs = jax.tree.map(
+        lambda a: None if a is None else jax.ShapeDtypeStruct(a.shape, a.dtype),
+        (n, y, y_valid, o2h_g, h2o_g, vw2),
+        is_leaf=lambda a: a is None,
+    )
+    return (do_f, dh_f), (gx_do, gx_dh, x.shape[1], structs)
+
+
+def _dl_bwd(tile, interpret, y_group, residuals, cotangents):
+    import numpy as np
+
+    gx_do, gx_dh, p1, (n_s, y_s, valid_s, og_s, hg_s, vw_s) = residuals
+    c_do, c_dh = cotangents  # per-frame scalars [F]
+    g = c_do[:, None, None] * gx_do + c_dh[:, None, None] * gx_dh  # [F,3,P1p]
+    gx = jnp.swapaxes(g, 1, 2)[:, :p1, :]
+    zeros = lambda s: jnp.zeros(s.shape, s.dtype)
+    g_valid = (
+        None if valid_s is None else np.zeros(valid_s.shape, dtype=jax.dtypes.float0)
+    )
+    # only x is on any differentiation path (normals enter through sign()
+    # with zero gradient a.e.; y / GT fields are batch-derived constants)
+    return gx, zeros(n_s), zeros(y_s), g_valid, zeros(og_s), zeros(hg_s), zeros(vw_s)
+
+
+_dl_core.defvjp(_dl_fwd, _dl_bwd)

@@ -1,0 +1,193 @@
+"""Parity tests for the fused dist-loss kernel (ops/chamfer_loss.py) against
+the composed pipeline (point2point_signed + the models/losses.py dist math).
+
+The fused kernel computes per-frame SUMS of the dist_o/dist_h integrands plus
+their hand-vert gradients in one pass; these tests assert value AND gradient
+parity with the composed XLA formulation (same math, different summation
+order -> rtol comparisons) in Pallas interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oakink2_tamf_tpu.core import geometry as G
+from oakink2_tamf_tpu.ops import chamfer_loss as CL
+
+
+def _composed_sums(x, n, y, o2h_g, h2o_g, vw2, y_valid=None, y_group=1):
+    """The exact composed-path math from models/losses.py:266-277, reduced to
+    per-frame sums (no frame masks / means — the fused kernel's contract)."""
+    yy = jnp.repeat(y, y_group, axis=0)
+    yv = jnp.repeat(y_valid, y_group, axis=0) if y_valid is not None else None
+    o2h, h2o, _ = G.point2point_signed(
+        x, yy, x_normals=n, y_valid=yv, backend="xla", chunk=512, grad_y=False
+    )
+    band = (o2h_g < 0.01) & (o2h_g > -0.005)
+    w = jnp.where(band, 1.0, 0.1)
+    w = jnp.where(o2h < 0.0, 1.5, w)
+    do_f = jnp.sum(jnp.abs(o2h - o2h_g) * w, axis=1)
+    dh_f = jnp.sum(jnp.abs(jnp.abs(h2o) - jnp.abs(h2o_g)) * vw2[None, :], axis=1)
+    return do_f, dh_f
+
+
+def _make_scene(rng, F, P1, P2, G_clouds=None, scale=0.02):
+    """Hand-scale random scene: distances straddle the 5 mm/10 mm band
+    thresholds so all three weight branches are exercised."""
+    g = G_clouds or F
+    x = jnp.asarray(rng.normal(size=(F, P1, 3)) * scale, jnp.float32)
+    n = rng.normal(size=(F, P1, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.asarray(n, jnp.float32)
+    y = jnp.asarray(rng.normal(size=(g, P2, 3)) * scale + 0.005, jnp.float32)
+    return x, n, y
+
+
+def _gt_fields(rng, x_like, n, y, y_valid, y_group):
+    """GT o2h/h2o from an independent random hand pose over the SAME clouds
+    (matches production: GT fields come from the GT hand)."""
+    xg = x_like + jnp.asarray(
+        rng.normal(size=x_like.shape) * 0.01, jnp.float32
+    )
+    yy = jnp.repeat(y, y_group, axis=0)
+    yv = jnp.repeat(y_valid, y_group, axis=0) if y_valid is not None else None
+    o2h_g, h2o_g, _ = G.point2point_signed(
+        xg, yy, x_normals=n, y_valid=yv, backend="xla", chunk=512, grad_y=False
+    )
+    return jax.lax.stop_gradient(o2h_g), jax.lax.stop_gradient(h2o_g)
+
+
+@pytest.mark.parametrize(
+    "F,P1,P2,y_group,tile",
+    [
+        (4, 13, 300, 1, 512),  # single tile, x-lane padding
+        (8, 13, 1100, 4, 512),  # multi-tile carry + shared-Y mode
+    ],
+)
+def test_fused_value_parity(F, P1, P2, y_group, tile):
+    rng = np.random.default_rng(0)
+    x, n, y = _make_scene(rng, F, P1, P2, G_clouds=F // y_group)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, None, y_group)
+
+    do_ref, dh_ref = _composed_sums(x, n, y, o2h_g, h2o_g, vw2, y_group=y_group)
+    do_f, dh_f = CL.chamfer_dist_loss(
+        x, n, y, o2h_g, h2o_g, vw2, y_group=y_group, tile=tile, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(do_f), np.asarray(do_ref), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dh_f), np.asarray(dh_ref), rtol=2e-4)
+
+
+def test_fused_grad_parity():
+    rng = np.random.default_rng(1)
+    F, P1, P2, y_group, tile = 8, 13, 1100, 4, 512
+    x, n, y = _make_scene(rng, F, P1, P2, G_clouds=F // y_group)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, None, y_group)
+    a = jnp.asarray(rng.normal(size=F), jnp.float32)
+    b = jnp.asarray(rng.normal(size=F), jnp.float32)
+
+    def loss_composed(xx):
+        do_f, dh_f = _composed_sums(xx, n, y, o2h_g, h2o_g, vw2, y_group=y_group)
+        return jnp.sum(a * do_f) + jnp.sum(b * dh_f)
+
+    def loss_fused(xx):
+        do_f, dh_f = CL.chamfer_dist_loss(
+            xx, n, y, o2h_g, h2o_g, vw2, y_group=y_group, tile=tile, interpret=True
+        )
+        return jnp.sum(a * do_f) + jnp.sum(b * dh_f)
+
+    v_ref, g_ref = jax.value_and_grad(loss_composed)(x)
+    v_fused, g_fused = jax.value_and_grad(loss_fused)(x)
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_fused_y_valid_parity():
+    rng = np.random.default_rng(2)
+    F, P1, P2, tile = 4, 13, 700, 512
+    x, n, y = _make_scene(rng, F, P1, P2)
+    y_valid = jnp.asarray(rng.random((F, P2)) > 0.3)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, y_valid, 1)
+
+    do_ref, dh_ref = _composed_sums(x, n, y, o2h_g, h2o_g, vw2, y_valid=y_valid)
+    do_f, dh_f = CL.chamfer_dist_loss(
+        x, n, y, o2h_g, h2o_g, vw2, y_valid=y_valid, tile=tile, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(do_f), np.asarray(do_ref), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dh_f), np.asarray(dh_ref), rtol=2e-4)
+
+
+def test_extra_loss_fused_matches_composed_end_to_end():
+    """Full interaction_segment_extra_loss: dist_impl='fused' (interpret) vs
+    'composed' must agree in value and in gradient w.r.t. model_output —
+    including masked frames, a padded object slot, and the GT branch."""
+    from oakink2_tamf_tpu.core import mano as M
+    from oakink2_tamf_tpu.models import losses as LL
+    from oakink2_tamf_tpu.models.refine_r import stack_mano_models
+
+    rng = np.random.default_rng(3)
+    BS, NOBJ, L, P = 2, 2, 6, 300
+    mano_stack = stack_mano_models(
+        M.synthetic_mano_model("right"), M.synthetic_mano_model("left")
+    )
+    assets = LL.load_contact_assets()
+    cfg = LL.ExtraLossConfig()
+    batch = {
+        "pose_repr": jnp.asarray(rng.normal(size=(BS, L, 99)).astype(np.float32)),
+        "shape": jnp.asarray(rng.normal(size=(BS, L, 10)).astype(np.float32)),
+        "hand_side": jnp.asarray(np.array([0, 1], np.int32)),
+        "obj_traj": jnp.asarray(rng.normal(size=(BS, NOBJ, L, 9)).astype(np.float32)),
+        "obj_mask": jnp.asarray(np.array([[True, False], [True, True]])),
+        "obj_points": jnp.asarray(
+            rng.normal(size=(BS, NOBJ, P, 3)).astype(np.float32)
+        ),
+        "mask": jnp.asarray((rng.random((BS, L)) > 0.2).astype(np.float32)),
+    }
+    model_output = jnp.asarray(rng.normal(size=(BS, L, 99)).astype(np.float32))
+
+    def run(impl):
+        def f(mo):
+            return LL.interaction_segment_extra_loss(
+                mano_stack, assets, cfg, mo, batch, chunk=256,
+                dist_impl=impl, interpret=True,
+            )[0]
+
+        return jax.value_and_grad(f)(model_output)
+
+    v_ref, g_ref = run("composed")
+    v_fused, g_fused = run("fused")
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=2e-3, atol=1e-5
+    )
+
+
+def test_fused_degenerate_padded_slot_is_zero_and_finite():
+    """A fully-padded object slot (x=0 from R=0,t=0; zero cloud; zero GT
+    fields) must contribute exactly 0 with finite gradients — the all-zero
+    geometry that collate padding produces (see core/geometry.py NaN note)."""
+    F, P1, P2 = 2, 13, 256
+    x = jnp.zeros((F, P1, 3), jnp.float32)
+    n = jnp.zeros((F, P1, 3), jnp.float32)
+    y = jnp.zeros((F, P2, 3), jnp.float32)
+    o2h_g = jnp.zeros((F, P2), jnp.float32)
+    h2o_g = jnp.zeros((F, P1), jnp.float32)
+    vw2 = jnp.ones((P1,), jnp.float32)
+
+    def loss(xx):
+        do_f, dh_f = CL.chamfer_dist_loss(
+            xx, n, y, o2h_g, h2o_g, vw2, tile=256, interpret=True
+        )
+        return jnp.sum(do_f) + jnp.sum(dh_f)
+
+    v, g = jax.value_and_grad(loss)(x)
+    assert float(v) == 0.0
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
