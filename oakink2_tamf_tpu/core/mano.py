@@ -124,6 +124,11 @@ def _find_mano_pkl(mano_assets_root: str, side: str) -> str:
 def load_mano_model(mano_assets_root: str, side: str = "right") -> ManoModel:
     """Load a MANO pickle (python-2 era, chumpy-laden) into a ManoModel."""
     path = _find_mano_pkl(mano_assets_root, side)
+    # integrity gate: presence alone would let a corrupted download train
+    # (asset/SHA256SUMS pin, recorded by scripts/fetch_assets.sh --pin)
+    from ..utils.integrity import verify_pinned
+
+    verify_pinned(path, what="MANO asset")
     with open(path, "rb") as f:
         data = _ChumpyFreeUnpickler(io.BytesIO(f.read()), encoding="latin1").load()
     # The kinematic tree is baked into mano_forward's static FK unroll

@@ -106,6 +106,9 @@ class ClipTokenizer:
         self.cache = {"<|startoftext|>": "<|startoftext|>", "<|endoftext|>": "<|endoftext|>"}
         self.has_bpe = False
         if bpe_path and os.path.isfile(bpe_path):
+            from ..utils.integrity import verify_pinned
+
+            verify_pinned(bpe_path, what="CLIP BPE merges")
             merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
             merges = merges[1 : 49152 - 256 - 2 + 1]
             merge_pairs = [tuple(m.split()) for m in merges]

@@ -64,6 +64,10 @@ def load_contact_assets(
                     "Fetch the grabnet verts_per_edge.npy/rhand_weight.npy "
                     "(reference README.md:118-126) or drop the config keys."
                 )
+        from ..utils.integrity import verify_pinned
+
+        verify_pinned(vpe_path, what="grabnet contact asset")
+        verify_pinned(c_weight_path, what="grabnet contact asset")
         vpe = np.load(vpe_path).astype(np.int32)
         w = np.load(c_weight_path).astype(np.float32)
     else:

@@ -176,6 +176,7 @@ def multi_object_h2o_dist(
     # cluster kernel's x tiling; None falls back to a per-frame Morton sort
     backend: str = "auto",  # "exact" forces the platform's exact route
     # (data/target_cache's overflow fallback; see multi_object_h2o_overflow)
+    interpret: bool = False,  # Pallas interpret mode (CPU tests)
 ) -> jax.Array:
     """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
     reference's point2point_signed signs only o2h, which this path discards —
@@ -202,7 +203,7 @@ def multi_object_h2o_dist(
     # serializing accumulation (the cluster kernel's backward bottleneck)
     h2o = G.point2point_h2o(
         flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, backend=backend,
-        grad_y=False, y_group=L,
+        grad_y=False, y_group=L, interpret=interpret,
     )
     h2o = h2o.reshape(bs, nobj, L, nhv)
     # padded object slots lose the union min (the reference masks their

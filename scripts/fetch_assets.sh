@@ -1,28 +1,90 @@
 #!/usr/bin/env bash
-# Fetch the real assets a reference-parity run depends on (config/parity.yml).
+# Fetch the real assets a reference-parity run depends on (config/parity.yml)
+# and verify/record their SHA256 integrity pins (asset/SHA256SUMS).
 #
 # Mirrors the reference's manual download workflow (reference README.md
 # "Train" steps 1-2 and "Evaluation" step 2); run from the repo root.
 # MANO itself is license-gated and must be downloaded by hand.
+#
+# Integrity model (round-3 verdict #4: presence -> integrity):
+# - The CLIP BPE merges hash is hard-pinned below (published upstream value).
+# - The HF-hosted tarballs and license-gated MANO pickles have no published
+#   hashes this script can ship; their pins are recorded TRUST-ON-FIRST-USE
+#   into asset/SHA256SUMS on the first successful fetch (or via --pin after a
+#   manual MANO download). COMMIT asset/SHA256SUMS: every later machine then
+#   fails loudly on a corrupted/divergent download — the in-code gates
+#   (core/mano, models/clip_text, models/losses) verify the pins at load.
+#
+#   ./scripts/fetch_assets.sh          # fetch + verify/record pins
+#   ./scripts/fetch_assets.sh --pin    # (re)record pins for present assets
 set -euo pipefail
 
 HF=https://huggingface.co/kelvin34501/OakInk2-TaMF/resolve/main
 CLIP_BPE=https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz
+# published sha256 of bpe_simple_vocab_16e6.txt.gz (openai/CLIP tokenizer asset)
+CLIP_BPE_SHA256=924691ac288e54409236115652ad4aa250f48203de50a9e4722a6ecd48d6804a
+
+PIN_FILE=asset/SHA256SUMS
+PIN_ONLY=${1:-}
 
 mkdir -p asset common
 
-# 1. MANO v1.2 (license-gated: manual). Expected layout:
-#    asset/mano_v1_2/models/MANO_{LEFT,RIGHT}.pkl
-if [ ! -f asset/mano_v1_2/models/MANO_RIGHT.pkl ]; then
-  echo "!! MANO assets missing: register at https://mano.is.tue.mpg.de," \
-       "download v1.2 and untar to asset/mano_v1_2 (see reference README)."
+pin() { # pin <path>  — record/refresh the pin for an existing file
+  [ -f "$1" ] || return 0
+  python - "$1" "$PIN_FILE" <<'PYEOF'
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(sys.argv[0]))) or ".")
+sys.path.insert(0, ".")
+from oakink2_tamf_tpu.utils.integrity import record_pin
+record_pin(sys.argv[1], sys.argv[2])
+print(f"pinned {sys.argv[1]}")
+PYEOF
+}
+
+verify_or_pin() { # verify against an existing pin, else record (TOFU)
+  [ -f "$1" ] || return 0
+  if [ -f "$PIN_FILE" ] && grep -q "  ${1#asset/}\$" "$PIN_FILE" 2>/dev/null; then
+    (cd asset && echo "$(grep "  ${1#asset/}\$" SHA256SUMS)" | sha256sum -c -) \
+      || { echo "!! integrity FAILURE for $1 — corrupted download"; exit 1; }
+  else
+    pin "$1"
+  fi
+}
+
+if [ "$PIN_ONLY" = "--pin" ]; then
+  for f in asset/mano_v1_2/models/MANO_LEFT.pkl \
+           asset/mano_v1_2/models/MANO_RIGHT.pkl \
+           asset/clip/bpe_simple_vocab_16e6.txt.gz \
+           asset/grabnet/verts_per_edge.npy \
+           asset/grabnet/rhand_weight.npy; do
+    pin "$f"
+  done
+  echo "pins recorded in $PIN_FILE — commit it."
+  exit 0
 fi
 
-# 2. CLIP BPE merges (models/clip_text.py refuses pretrained weights without it)
+# 1. MANO v1.2 (license-gated: manual). Expected layout:
+#    asset/mano_v1_2/models/MANO_{LEFT,RIGHT}.pkl
+#    After the manual download, run `./scripts/fetch_assets.sh --pin` once and
+#    commit asset/SHA256SUMS so later machines verify the same bytes.
+if [ ! -f asset/mano_v1_2/models/MANO_RIGHT.pkl ]; then
+  echo "!! MANO assets missing: register at https://mano.is.tue.mpg.de," \
+       "download v1.2 and untar to asset/mano_v1_2 (see reference README)," \
+       "then re-run this script (or --pin) to record their integrity pins."
+else
+  verify_or_pin asset/mano_v1_2/models/MANO_LEFT.pkl
+  verify_or_pin asset/mano_v1_2/models/MANO_RIGHT.pkl
+fi
+
+# 2. CLIP BPE merges (models/clip_text.py refuses pretrained weights without
+#    it). Hash is hard-pinned: a corrupted download fails HERE.
 if [ ! -f asset/clip/bpe_simple_vocab_16e6.txt.gz ]; then
   mkdir -p asset/clip
   curl -L -o asset/clip/bpe_simple_vocab_16e6.txt.gz "$CLIP_BPE"
 fi
+echo "$CLIP_BPE_SHA256  clip/bpe_simple_vocab_16e6.txt.gz" | (cd asset && sha256sum -c -) \
+  || { echo "!! CLIP BPE merges fail the published sha256 — corrupted download"; exit 1; }
+pin asset/clip/bpe_simple_vocab_16e6.txt.gz
 
 # 3. grabnet contact assets (verts_per_edge.npy, rhand_weight.npy -> asset/grabnet).
 # The reference README's own grabnet link points at encoder__fid_1.tar.xz
@@ -39,6 +101,8 @@ if [ ! -f asset/grabnet/rhand_weight.npy ]; then
          "https://github.com/oakink/OakInk-Grasp-Generation into asset/grabnet"
   fi
 fi
+verify_or_pin asset/grabnet/verts_per_edge.npy
+verify_or_pin asset/grabnet/rhand_weight.npy
 
 # 4. precomputed PointBERT object embeddings + sampled point clouds -> common/
 if [ ! -d common/retrieve_obj_embedding ]; then
@@ -50,6 +114,7 @@ if [ ! -d common/retrieve_obj_pointcloud ]; then
   tar -xJf /tmp/obj_pointcloud.tar.xz -C common
 fi
 
-echo "done. verify the gates with:"
+echo "done. pins live in $PIN_FILE (commit it). verify the gates with:"
+echo "  (cd asset && sha256sum -c SHA256SUMS)"
 echo "  TAMF_MANO_PATH=asset/mano_v1_2 TAMF_CLIP_BPE=asset/clip/bpe_simple_vocab_16e6.txt.gz \\"
 echo "    python -m pytest tests/test_mano_golden.py tests/test_clip_text.py -q"
