@@ -163,6 +163,91 @@ print(f"[{pid}] OK step={step} checksum={checksum}", flush=True)
     assert (cache / "meta.json").exists()  # race-safe fingerprint write
 
 
+# One G train step on a deterministic synthetic batch: executed verbatim by
+# BOTH the 2-process workers (4 local devices each -> 8 global) and the
+# single-process 8-device reference in the pytest parent, so the two
+# topologies cannot diverge in setup. Expects `lo, hi` (this host's stripe
+# of the global batch) and binds `loss`.
+_G_STEP_CODE = """
+import dataclasses
+import numpy as np
+import jax
+from oakink2_tamf_tpu.core import diffusion as D
+from oakink2_tamf_tpu.core import mano as M
+from oakink2_tamf_tpu.data.synthetic import synthetic_batch
+from oakink2_tamf_tpu.models import losses as LL
+from oakink2_tamf_tpu.models.mdm_g import InteractionSegmentMDM, MDMConfig
+from oakink2_tamf_tpu.models.refine_r import stack_mano_models
+from oakink2_tamf_tpu.parallel import train as PT
+from oakink2_tamf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+BS, L, P = 8, 16, 64
+cfg = dataclasses.replace(
+    MDMConfig(), latent_dim=32, ff_size=64, num_layers=2, num_heads=2, dropout=0.0
+)
+model = InteractionSegmentMDM(cfg)
+sched = D.tamf_schedule(50)
+mano_stack = stack_mano_models(
+    M.synthetic_mano_model("right"), M.synthetic_mano_model("left")
+)
+assets = LL.load_contact_assets()
+batch = synthetic_batch(
+    np.random.default_rng(0), batch_size=BS, seq_len=L, max_nobj=2, n_obj_points=P
+)
+# fixed timesteps: the in-step uniform draw is rng-identical anyway (same
+# key), but pinning them keeps the equality argument trivial
+batch["t"] = np.arange(BS, dtype=np.int32) % 50
+batch["t_weights"] = np.ones(BS, np.float32)
+cond = PT.g_cond_from_batch(batch)
+params = model.init(
+    jax.random.PRNGKey(0), batch["pose_repr"], np.zeros((BS,), np.int32), cond
+)
+opt = PT.make_optimizer()
+mesh = make_mesh()
+step = PT.make_g_train_step(
+    model, sched, opt, mano_stack, assets, LL.ExtraLossConfig(), chunk=64, mesh=mesh
+)
+state = replicate(PT.init_train_state(params, opt), mesh)
+local = {k: (np.asarray(v)[lo:hi] if np.ndim(v) else v) for k, v in batch.items()}
+sbatch = shard_batch(local, mesh)
+state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+loss = float(jax.device_get(metrics["loss"]))
+"""
+
+
+def test_two_process_train_g_step_matches_single_process(tmp_path):
+    """Multi-host train smoke (round-3 verdict stretch #8): ONE G train step
+    (geometric losses included) under jax.distributed with 2 processes x 4
+    local devices must produce the same loss as the 1-process 8-device run
+    of the identical batch — the GSPMD program is topology-invariant."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    code = (
+        _PROLOGUE.replace('"--xla_force_host_platform_device_count=2"',
+                          '"--xla_force_host_platform_device_count=4"')
+        .replace("len(jax.local_devices()) == 2 and len(jax.devices()) == 4",
+                 "len(jax.local_devices()) == 4 and len(jax.devices()) == 8")
+        .format(repo=REPO, port=_free_port(), shared=str(shared))
+        + "lo, hi = pid * 4, pid * 4 + 4\n"
+        + _G_STEP_CODE
+        + """
+with open(os.path.join(SHARED, f"loss{pid}.json"), "w") as f:
+    json.dump({"loss": loss}, f)
+print(f"[{pid}] OK loss={loss}", flush=True)
+"""
+    )
+    _run_pair(code, tmp_path)
+
+    # single-process 8-device reference in THIS process (conftest mesh)
+    ns = {"lo": 0, "hi": 8}
+    exec(_G_STEP_CODE, ns)  # noqa: S102 - the same code the workers ran
+    ref_loss = ns["loss"]
+
+    losses = [json.load(open(shared / f"loss{p}.json"))["loss"] for p in (0, 1)]
+    assert losses[0] == losses[1], "hosts disagree on the replicated loss"
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+
+
 def test_two_process_sample_r_disjoint_complete(tmp_path):
     """sample_r under jax.distributed: resolve_shard picks the process
     topology, each process runs an independent LOCAL-mesh jit over its own

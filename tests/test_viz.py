@@ -88,3 +88,41 @@ def test_export_html_viewer_validates(tmp_path):
                 {"name": "b", "pos": np.zeros((5, 2, 3))},
             ],
         )
+
+
+def test_camera_overlay_projection_and_drawing():
+    """RGB camera-frame skeleton overlay (viz/overlay.py — the
+    vis_cv2_util.py capability): projection math is exact, drawing touches
+    the projected pixels, behind-camera points are dropped."""
+    import numpy as np
+    from oakink2_tamf_tpu.viz.overlay import (
+        draw_skeleton_overlay, draw_verts_overlay, project_points,
+    )
+
+    cam_intr = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    # a known point: (0.1, -0.05, 0.5) -> u = 100*0.2+64 = 84, v = 100*-0.1+48 = 38
+    uv, z = project_points(np.array([[0.1, -0.05, 0.5], [0.0, 0.0, -1.0]]), cam_intr)
+    np.testing.assert_allclose(uv[0], [84.0, 38.0], atol=1e-9)
+    assert np.all(np.isnan(uv[1]))  # behind the camera
+
+    # world->camera extrinsics: camera at z=-1 looking +z == points shift +1 z
+    extr = np.eye(4)
+    extr[2, 3] = 1.0
+    uv2, _ = project_points(np.array([[0.0, 0.0, 0.0]]), cam_intr, extr)
+    np.testing.assert_allclose(uv2[0], [64.0, 48.0], atol=1e-9)
+
+    rng = np.random.default_rng(0)
+    joints = rng.normal(size=(21, 3)) * 0.05 + [0.0, 0.0, 0.5]
+    img = np.zeros((96, 128, 3), np.uint8)
+    out = draw_skeleton_overlay(img, joints, cam_intr)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.all(img == 0)  # input untouched (copy semantics)
+    assert (out != 0).any(axis=2).sum() > 50  # skeleton actually drawn
+    # wrist joint pixel is painted (white dot)
+    uvj, _ = project_points(joints, cam_intr)
+    u0, v0 = int(round(uvj[0, 0])), int(round(uvj[0, 1]))
+    assert np.all(out[v0, u0] == 255)
+
+    verts = rng.normal(size=(50, 3)) * 0.05 + [0.0, 0.0, 0.5]
+    out2 = draw_verts_overlay(img, verts, cam_intr)
+    assert (out2 != 0).any(axis=2).sum() >= 30  # most verts inside the frame
