@@ -240,25 +240,30 @@ def point2point_h2o(
     direction; the o2h/sign work of point2point_signed — a measured ~40% of
     the fused kernel — is skipped entirely on the TPU path.
 
-    Backends: "auto" = cluster-pruned Pallas kernel on TPU for big clouds
-    (measured 65.6 vs 114.7 ms f+b per 640x778x8192 at the default k_cells=24
-    with a static x_perm — float-exact on a realistic grasp scene), exact
-    all-pairs Pallas for small ones, XLA elsewhere; "pallas" forces the exact
-    all-pairs kernel; "cluster" forces the pruned kernel; "xla" the streaming
-    scan. Pass `x_perm` (core/mano.hand_template_perm for MANO verts) on the
-    cluster path — the Morton fallback costs a per-frame argsort. `yT`
-    [N, 3, P2] is the coordinate-major cloud — prefer it on the cluster path
-    ([.., 3]-minor arrays are tile-padded 42x on TPU)."""
+    Backends: "auto" = the EXACT all-pairs Pallas kernel on TPU, XLA
+    elsewhere; "pallas"/"exact" force the exact kernel; "xla" the streaming
+    scan; "cluster" is the pruned kernel as an OPT-IN. Round 4 removed the
+    cluster kernel from "auto": its k_cells=24 candidate budget was tuned on
+    a compact (4 cm) x blob, and with a real full-size hand (anatomical
+    128-vert tiles spanning 2-4 cm) every realistic scene measured at
+    P2 >= 4096 needs k ~= n_cells — the pruned result silently OVERESTIMATES
+    h2o (8.2 mm observed on a hand-beside-object-surface scene), breaking
+    reference parity (the CUDA chamfer is exact). Opt into "cluster" only
+    for small clouds (C = ceil(P2/128) <= k_cells certifies trivially) or
+    monitored distributions — train_r's val-epoch certificate
+    (launch/train_r.report_cluster_overflow) and the adversarial suite in
+    tests/test_chamfer_cluster.py document the contract. Pass `x_perm`
+    (core/mano.hand_template_perm for MANO verts) on the cluster path — the
+    Morton fallback costs a per-frame argsort. `yT` [N, 3, P2] is the
+    coordinate-major cloud ([.., 3]-minor arrays are tile-padded 42x on
+    TPU)."""
     if y_group > 1 and grad_y:
         raise NotImplementedError("y_group > 1 requires grad_y=False")
     if backend == "exact":
         # strongest exact route available on this platform (all-pairs Pallas
         # on TPU, XLA elsewhere) — the cluster overflow fallbacks use this
         backend = "pallas" if _on_tpu() else "xla"
-    p2 = y.shape[1] if y is not None else yT.shape[2]
-    use_cluster = backend == "cluster" or (
-        backend == "auto" and _on_tpu() and p2 >= 4096
-    )
+    use_cluster = backend == "cluster"
     if use_cluster:
         from ..ops import chamfer_cluster as CC
 
@@ -301,14 +306,13 @@ def point2point_h2o_overflow(
     """Per-frame overflow counts [N] i32 for the EXACT routing decision
     point2point_h2o would make on these operands: zero everywhere PROVES the
     cluster-pruned result is exact; all-zeros trivially when the route is an
-    exact kernel (all-pairs Pallas / XLA). Cheap — recomputes only the
-    candidate-selection stage, no NN kernel. Callers that PERSIST h2o values
-    (data/target_cache) verify with this and fall back to the exact kernel on
-    overflow; in-step consumers can monitor it at val time."""
-    p2 = y.shape[1] if y is not None else yT.shape[2]
-    use_cluster = backend == "cluster" or (
-        backend == "auto" and _on_tpu() and p2 >= 4096
-    )
+    exact kernel ("auto" since round 4 — see point2point_h2o; pass
+    backend="cluster" to certify an opt-in cluster run). Cheap — recomputes
+    only the candidate-selection stage, no NN kernel. Callers that PERSIST
+    h2o values (data/target_cache) verify with this and fall back to the
+    exact kernel on overflow; in-step consumers monitor it at val time
+    (launch/train_r.report_cluster_overflow)."""
+    use_cluster = backend == "cluster"
     n = x.shape[0]
     if not use_cluster:
         return jnp.zeros((n,), jnp.int32)

@@ -214,6 +214,7 @@ def main(argv=None):
     step_fn = PT.make_g_train_step(
         model, sched, optimizer, mano_stack, assets, extra_cfg,
         chunk=chunk, mesh=mesh,
+        dist_impl=str(train_cfg.get("dist_impl", "auto")),
     )
     state = replicate(state, mesh)
 

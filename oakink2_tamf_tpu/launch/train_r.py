@@ -112,6 +112,7 @@ def main(argv=None):
     train_cfg = reg.select("train")
     mesh = make_mesh(int(reg.select("runtime").get("device_count") or 0) or None)
     chunk = int(train_cfg.get("chunk", 2048))
+    h2o_backend = str(train_cfg.get("h2o_backend", "auto"))
 
     net = build_refine_net(reg)
     mano_path = reg.select("mano").get("mano_path") or None
@@ -174,7 +175,10 @@ def main(argv=None):
     if train_cfg.get("reload_ckpt_model_filepath"):
         state = load_checkpoint(train_cfg["reload_ckpt_model_filepath"], state, strict=False)
 
-    step_fn = PT.make_r_train_step(net, optimizer, mano_stack, assets, loss_cfg, chunk=chunk, mesh=mesh)
+    step_fn = PT.make_r_train_step(
+        net, optimizer, mano_stack, assets, loss_cfg, chunk=chunk, mesh=mesh,
+        h2o_backend=h2o_backend,
+    )
     state = replicate(state, mesh)
 
     writer = MetricWriter(run_dir.sub("summary") if run_dir.commit else None,
@@ -183,7 +187,9 @@ def main(argv=None):
     # single jitted val forward (reused across epochs -> one compile)
     eval_fn = jax.jit(
         lambda p, b: LL.segment_refine_loss(
-            assets, loss_cfg, refine_forward_eval(net, p, mano_stack, b), b
+            assets, loss_cfg,
+            refine_forward_eval(net, p, mano_stack, b, h2o_backend=h2o_backend),
+            b,
         )
     )
 
@@ -194,7 +200,7 @@ def main(argv=None):
     # OVERESTIMATE h2o. One val batch per eval pass re-runs the (cheap,
     # stage-1-only) selection and warns above zero.
     ovf_fn = jax.jit(
-        lambda b: make_overflow_probe(mano_stack, chunk=chunk)(b)
+        lambda b: make_overflow_probe(mano_stack, chunk=chunk, backend=h2o_backend)(b)
     )
 
     num_epoch = int(train_cfg.get("num_epoch", 400))
@@ -268,10 +274,13 @@ def main(argv=None):
     return state
 
 
-def refine_forward_eval(net, params, mano_stack, batch):
+def refine_forward_eval(net, params, mano_stack, batch, h2o_backend="auto"):
     from ..models.refine_r import refine_forward
 
-    return refine_forward(net, params, mano_stack, batch, deterministic=True)
+    return refine_forward(
+        net, params, mano_stack, batch, deterministic=True,
+        h2o_backend=h2o_backend,
+    )
 
 
 def make_overflow_probe(mano_stack, *, chunk: int = 2048, backend: str = "auto"):

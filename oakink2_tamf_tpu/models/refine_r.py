@@ -246,6 +246,7 @@ def target_geometry(
     batch: dict[str, Any],
     *,
     chunk: int = 2048,
+    h2o_backend: str = "auto",
 ) -> dict[str, jax.Array]:
     """Geometry of the GT target (ref :219-248 target branch).
 
@@ -263,7 +264,7 @@ def target_geometry(
         t_h2o = multi_object_h2o_dist(
             t_verts, t_normals, batch["obj_traj"], batch["obj_points"],
             batch["obj_mask"], chunk=chunk,
-            x_perm=M.hand_template_perm(mano_stack),
+            x_perm=M.hand_template_perm(mano_stack), backend=h2o_backend,
         )
     return {
         "target_hand_verts": jax.lax.stop_gradient(t_verts),
@@ -278,6 +279,7 @@ def sample_geometry(
     batch: dict[str, Any],
     *,
     chunk: int = 2048,
+    h2o_backend: str = "auto",
 ) -> dict[str, jax.Array]:
     """Geometry of the INPUT sample (ref :193-208): MANO recovery + h2o of
     sample_pose_repr. Pure function of the batch — no model params — so the
@@ -289,7 +291,7 @@ def sample_geometry(
     s_h2o = multi_object_h2o_dist(
         s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
         batch["obj_mask"], chunk=chunk,
-        x_perm=M.hand_template_perm(mano_stack),
+        x_perm=M.hand_template_perm(mano_stack), backend=h2o_backend,
     )
     return {
         "sample_hand_verts": s_verts,
@@ -310,6 +312,7 @@ def refine_forward(
     chunk: int = 2048,
     rngs=None,
     sample_geom: dict[str, jax.Array] | None = None,
+    h2o_backend: str = "auto",
 ) -> dict[str, jax.Array]:
     """Full reference forward (ref :170-250): geometry for the input sample,
     the network's residual refinement, geometry for the refined output, and
@@ -327,7 +330,9 @@ def refine_forward(
     obj_pts = batch["obj_points"]
 
     if sample_geom is None:
-        sample_geom = sample_geometry(mano_stack, batch, chunk=chunk)
+        sample_geom = sample_geometry(
+            mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend
+        )
     s_verts = sample_geom["sample_hand_verts"]
     s_joints = sample_geom["sample_hand_joints"]
     s_normals = sample_geom["sample_hand_normals"]
@@ -343,6 +348,7 @@ def refine_forward(
     r_h2o = multi_object_h2o_dist(
         r_verts, r_normals, batch["obj_traj"], obj_pts, batch["obj_mask"],
         chunk=chunk, x_perm=M.hand_template_perm(mano_stack),
+        backend=h2o_backend,
     )
 
     res = {
@@ -358,5 +364,7 @@ def refine_forward(
     }
 
     if with_target:
-        res.update(target_geometry(mano_stack, batch, chunk=chunk))
+        res.update(
+            target_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+        )
     return res

@@ -126,10 +126,12 @@ def make_g_train_step(
     *,
     chunk: int = 2048,
     mesh=None,
+    dist_impl: str = "auto",
 ) -> Callable:
     """Build the jitted G train step. With mano/assets/extra_cfg set, the
     geometric extra losses are computed on model_output (the reference's
-    loss_callback hook, gd.py:1182 / launch/train.py:522-528)."""
+    loss_callback hook, gd.py:1182 / launch/train.py:522-528). dist_impl
+    routes the predicted-side dist pass (models/losses.py docstring)."""
 
     use_extra = mano_stack is not None and assets is not None and extra_cfg is not None
 
@@ -193,7 +195,7 @@ def make_g_train_step(
                 extra, terms = jax.checkpoint(
                     lambda mo, gg: LL.interaction_segment_extra_loss(
                         mano_stack, assets, extra_cfg, mo, batch,
-                        chunk=chunk, gt_geom=gg,
+                        chunk=chunk, gt_geom=gg, dist_impl=dist_impl,
                     ),
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "chamfer_res", "geom_res"
@@ -280,6 +282,7 @@ def make_r_train_step(
     *,
     chunk: int = 2048,
     mesh=None,
+    h2o_backend: str = "auto",
 ) -> Callable:
     from ..models.refine_r import sample_geometry, target_geometry
 
@@ -291,14 +294,17 @@ def make_r_train_step(
         # batch["target_h2o"] the target chamfer pass vanishes entirely
         # (ref recomputed all three branches inside the graph every step,
         # segment_refine_model.py:193-248)
-        tgt = target_geometry(mano_stack, batch, chunk=chunk)
-        sg = jax.lax.stop_gradient(sample_geometry(mano_stack, batch, chunk=chunk))
+        tgt = target_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+        sg = jax.lax.stop_gradient(
+            sample_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+        )
 
         def loss_fn(params):
             out = refine_forward(
                 net, params, mano_stack, batch,
                 deterministic=False, with_target=False, chunk=chunk,
                 rngs={"dropout": k_dropout}, sample_geom=sg,
+                h2o_backend=h2o_backend,
             )
             out.update(tgt)
             loss, terms = LL.segment_refine_loss(assets, loss_cfg, out, batch)
