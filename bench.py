@@ -190,7 +190,15 @@ def main():
 
     def maybe_shard(tree):
         if mesh is None:
-            return tree
+            # device-resident ONCE before the timed loop: the rows measure
+            # the STEP, not host->device transfer. A real loader overlaps
+            # H2D with compute; over the axon tunnel an un-put batch reads
+            # as seconds of fake step time (the round-4 GT-cache fields are
+            # 168 MB at the canary shape, 671 MB at production — measured
+            # +3.0 s on the canary G row before this was fixed).
+            import jax.numpy as _jnp
+
+            return jax.tree.map(_jnp.asarray, tree)
         from oakink2_tamf_tpu.parallel.mesh import shard_batch
 
         return shard_batch(tree, mesh)

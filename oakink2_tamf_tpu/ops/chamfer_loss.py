@@ -54,10 +54,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .chamfer_pallas import BIG, _cost, _dot, _prep_operands, _round_up
 
 
+def _dot_high(a, b, dims):
+    """MXU matmul at HIGH precision (3 bf16 passes, ~2^-16 relative).
+
+    Used only for the one-hot SELECT (pass 2) and gradient CONTRACTION
+    (pass 3) — never the distance pass. Both tolerate 2^-16: the select
+    rounds centered coordinates/normals (|.| ~ 0.05 m -> ~1e-6 m error,
+    vs ~5e-3 m near-contact sign numerators), and the gradient rows feed
+    an optimizer step (parity tests still pass at their rtol)."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _dist_loss_kernel(
     xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
     v_ref, dh_ref, gxdo_ref, gxdh_ref,
     h2od_s, yat_s, gxdo_s,
+    *, sel_impl: str = "mxu",
 ):
     """One (frame, y-tile) grid step of the fused loss pass.
 
@@ -103,7 +119,18 @@ def _dist_loss_kernel(
 
     # 2) nearest-x coordinates AND normal in one K=P1p pass (6 rows <= one
     #    sublane tile — same MXU cost as selecting either alone)
-    sel = _dot(xn, Mf, ((1,), (0,)))  # [6, tile]
+    if sel_impl == "vpu":
+        # masked sublane reductions instead of the MXU pass: overlaps the
+        # distance matmul of the pipelined next grid step
+        xnT = xn.T  # [P1p, 6]
+        sel = jnp.concatenate(
+            [jnp.sum(Mf * xnT[:, k:k + 1], axis=0)[None, :] for k in range(6)],
+            axis=0,
+        )  # [6, tile]
+    elif sel_impl == "mxu":
+        sel = _dot(xn, Mf, ((1,), (0,)))  # [6, tile]
+    else:  # "mxu_high" / "vpu_g": HIGH-precision select (see _dot_high)
+        sel = _dot_high(xn, Mf, ((1,), (0,)))
     x_nn = sel[0:3]
     n_at = sel[3:6]
     sdot = jnp.sum(n_at * (yt - x_nn), axis=0)  # sign numerator [tile]
@@ -122,7 +149,16 @@ def _dist_loss_kernel(
     coef = w * jnp.sign(diff) * sign * valid / jnp.maximum(dist, 1e-12)
     u = coef[None, :] * (x_nn - yt)  # [3, tile]
     # 3) scatter-to-x as a one-hot contraction over the tile axis
-    gpart = _dot(u, Mf, ((1,), (1,)))  # [3, P1p]
+    if sel_impl in ("vpu", "vpu_g"):
+        # masked lane reductions (u rows broadcast across Mf's sublanes)
+        gpart = jnp.concatenate(
+            [jnp.sum(Mf * u[k][None, :], axis=1)[None, :] for k in range(3)],
+            axis=0,
+        )  # [3, P1p]
+    elif sel_impl == "mxu":
+        gpart = _dot(u, Mf, ((1,), (1,)))  # [3, P1p]
+    else:
+        gpart = _dot_high(u, Mf, ((1,), (1,)))
 
     # ---- h2o direction: running min + nearest-y coords carried in scratch --
     tile_min = jnp.min(d, axis=1)  # [P1p]
@@ -166,7 +202,9 @@ def _dist_loss_kernel(
         gxdh_ref[0, 2, :] = cfh * (xt[2] - yat_s[2, :])
 
 
-def _dist_loss_forward(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
+def _dist_loss_forward(
+    x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl="mxu"
+):
     """Run the fused kernel. Returns (v_rows [F,P2], dh_rows [F,P1],
     gx_do [F,3,P1p], gx_dh [F,3,P1p]) — gx rows stay kernel-layout; the VJP
     scales and transposes them once."""
@@ -195,7 +233,7 @@ def _dist_loss_forward(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_g
         memory_space=pltpu.VMEM,
     )
     v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
-        _dist_loss_kernel,
+        functools.partial(_dist_loss_kernel, sel_impl=sel_impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
@@ -242,6 +280,7 @@ def chamfer_dist_loss(
     y_group: int = 1,
     tile: int = 2048,
     interpret: bool = False,
+    sel_impl: str = "mxu",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused dist_o/dist_h loss partials: returns (do_f [F], dh_f [F]) where
 
@@ -258,19 +297,22 @@ def chamfer_dist_loss(
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
     return _dl_core(
-        x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group
+        x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group,
+        sel_impl,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
-    out, _ = _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl):
+    out, _ = _dl_fwd(
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl
+    )
     return out
 
 
-def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
+def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl):
     v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward(
-        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl
     )
     do_f = jnp.sum(v_rows, axis=1)
     dh_f = jnp.sum(dh_rows, axis=1)
@@ -292,7 +334,7 @@ def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group):
     return (do_f, dh_f), (gx_do, gx_dh, x.shape[1], structs)
 
 
-def _dl_bwd(tile, interpret, y_group, residuals, cotangents):
+def _dl_bwd(tile, interpret, y_group, sel_impl, residuals, cotangents):
     import numpy as np
 
     gx_do, gx_dh, p1, (n_s, y_s, valid_s, og_s, hg_s, vw_s) = residuals

@@ -402,6 +402,100 @@ def _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group=1):
     return h2o_d[:F, 0, :P1], h2o_i[:F, 0, :P1]
 
 
+def _nn_h2o_dvec_kernel(xa_ref, ya_ref, h2o_d_ref, dvec_ref, h2od_s, yat_s):
+    """h2o-only grid step that carries the nearest-y COORDINATES across the
+    tile loop in VMEM scratch (the fused loss kernel's yat_s trick,
+    ops/chamfer_loss.py) and emits the DIFFERENCE vector x - y* directly:
+
+      h2o_d: [1, 1, P1p] running min squared distance
+      dvec:  [1, 3, P1p] x - y_{j*} per hand vert (centered frames cancel)
+
+    d(dist)/dx = (x - y*) / dist, so with dvec in hand the ENTIRE backward
+    is two XLA elementwise ops — no backward kernel, no y re-streaming, no
+    one-hot matmul. Same selection policy as _nn_h2o_kernel (within-tile
+    argmin-first, strict < across tiles): bit-identical distances."""
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    tile = ya_ref.shape[2]
+    P1p = xa_ref.shape[2]
+
+    xa = xa_ref[0]  # [5, P1p]
+    ya = ya_ref[0]  # [5, tile]
+    yt = ya[0:3]
+
+    d = _dot(xa, ya, ((0,), (0,)))  # [P1p, tile]
+    tile_min = jnp.min(d, axis=1)  # [P1p]
+    targ = jnp.argmin(d, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 1)
+    M2 = (cols == targ[:, None]).astype(jnp.float32)  # [P1p, tile]
+    ysel0 = jnp.sum(M2 * yt[0, :][None, :], axis=1)  # [P1p]
+    ysel1 = jnp.sum(M2 * yt[1, :][None, :], axis=1)
+    ysel2 = jnp.sum(M2 * yt[2, :][None, :], axis=1)
+
+    @pl.when(c == 0)
+    def _():
+        h2od_s[0, :] = tile_min
+        yat_s[0, :] = ysel0
+        yat_s[1, :] = ysel1
+        yat_s[2, :] = ysel2
+
+    @pl.when(c > 0)
+    def _():
+        prev = h2od_s[0, :]
+        upd = tile_min < prev
+        h2od_s[0, :] = jnp.where(upd, tile_min, prev)
+        yat_s[0, :] = jnp.where(upd, ysel0, yat_s[0, :])
+        yat_s[1, :] = jnp.where(upd, ysel1, yat_s[1, :])
+        yat_s[2, :] = jnp.where(upd, ysel2, yat_s[2, :])
+
+    @pl.when(c == nc - 1)
+    def _():
+        h2o_d_ref[0, 0, :] = h2od_s[0, :]
+        xt = xa[0:3] * -0.5  # centered x coordinates (xa rows 0:3 are -2x)
+        dvec_ref[0, 0, :] = xt[0] - yat_s[0, :]
+        dvec_ref[0, 1, :] = xt[1] - yat_s[1, :]
+        dvec_ref[0, 2, :] = xt[2] - yat_s[2, :]
+
+
+def _nn_h2o_dvec_forward(x, y, y_valid, tile, interpret, y_group=1):
+    """(h2o_sqdist [F, P1], dvec [F, 3, P1p]) — the grad_y=False
+    differentiation path's forward (see _p2h_fwd)."""
+    xa, _, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
+        x, y, y_valid, None, tile, y_group
+    )
+    assert fb == 1 and Fp == F  # _frame_block is pinned to 1 (measured)
+    grid = (F, P2p // tile)
+    _ya_spec = pl.BlockSpec(
+        (1, 5, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
+    h2o_d, dvec = pl.pallas_call(
+        _nn_h2o_dvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            _ya_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, P1p), jnp.float32),
+            pltpu.VMEM((3, P1p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=_cost(10 * F * P1p * P2p, xa, ya),
+        interpret=interpret,
+    )(xa, ya)
+    return h2o_d[:, 0, :P1], dvec
+
+
 def _nn_h2o_bwd_kernel(xt_ref, yt_ref, h2oi_ref, xr_ref, gx_ref, gy_ref):
     """h2o-only backward (see _nn_bwd_kernel): only the x->y direction."""
     c = pl.program_id(1)
@@ -575,16 +669,33 @@ def point2point_h2o_pallas(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _p2h_core(x, y, y_valid, tile, interpret, grad_y, y_group):
-    out, _ = _p2h_fwd(x, y, y_valid, tile, interpret, grad_y, y_group)
-    return out
+    # primal (non-differentiated calls, e.g. the stop_gradient'd sample /
+    # target geometry): the plain forward, no residual machinery
+    h2o_d, _ = _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group)
+    return jnp.sqrt(jnp.maximum(h2o_d, 0.0))
 
 
 def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y, y_group):
-    h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group)
-    x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
-
     from jax.ad_checkpoint import checkpoint_name
 
+    if not grad_y:
+        # dvec path: the forward carries x - y* out of the kernel (VPU
+        # masked reductions overlapping the MXU distance pass), so the
+        # backward is two XLA elementwise ops — the backward kernel and its
+        # full y re-streaming (an entire second full-rate pass over
+        # [P1p, P2] per frame) are GONE.
+        h2o_d, dvec = _nn_h2o_dvec_forward(x, y, y_valid, tile, interpret, y_group)
+        x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
+        x2y_dist = checkpoint_name(x2y_dist, "chamfer_res")
+        dvec = checkpoint_name(dvec, "chamfer_res")
+        structs = (
+            jax.ShapeDtypeStruct(y.shape, y.dtype),
+            jax.ShapeDtypeStruct(y_valid.shape, y_valid.dtype),
+        )
+        return x2y_dist, (x2y_dist, dvec, structs)
+
+    h2o_d, h2o_i = _nn_h2o_forward(x, y, y_valid, tile, interpret, y_group)
+    x2y_dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
     x2y_dist = checkpoint_name(x2y_dist, "chamfer_res")
     h2o_i = checkpoint_name(h2o_i, "chamfer_res")
     return x2y_dist, (x, y, x2y_dist, h2o_i)
@@ -592,6 +703,15 @@ def _p2h_fwd(x, y, y_valid, tile, interpret, grad_y, y_group):
 
 def _p2h_bwd(tile, interpret, grad_y, y_group, residuals, cotangents):
     import numpy as np
+
+    if not grad_y:
+        x2y_dist, dvec, (y_s, valid_s) = residuals
+        P1 = x2y_dist.shape[1]
+        xr = cotangents / jnp.maximum(x2y_dist, 1e-12)  # [F, P1]
+        gxT = xr[:, None, :] * dvec[:, :, :P1]  # [F, 3, P1] lane-major
+        gx = jnp.swapaxes(gxT, 1, 2)  # [F, P1, 3]
+        g_valid = np.zeros(valid_s.shape, dtype=jax.dtypes.float0)
+        return gx, jnp.zeros(y_s.shape, y_s.dtype), g_valid
 
     x, y, x2y_dist, h2o_i = residuals
     xr = cotangents / jnp.maximum(x2y_dist, 1e-12)

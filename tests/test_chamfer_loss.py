@@ -108,6 +108,39 @@ def test_fused_grad_parity():
     )
 
 
+@pytest.mark.parametrize("sel_impl", ["mxu_high", "vpu_g", "vpu"])
+def test_fused_sel_impl_variants_match_default(sel_impl):
+    """The select/gradient-pass variants (HIGH-precision MXU, VPU masked
+    reductions) must match the default kernel: values exactly-ish (the
+    select feeds sign() through well-separated numerators at hand scale),
+    gradients at the parity rtol used for the composed A/B."""
+    rng = np.random.default_rng(7)
+    F, P1, P2, y_group, tile = 8, 13, 1100, 4, 512
+    x, n, y = _make_scene(rng, F, P1, P2, G_clouds=F // y_group)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, None, y_group)
+    a = jnp.asarray(rng.normal(size=F), jnp.float32)
+    b = jnp.asarray(rng.normal(size=F), jnp.float32)
+
+    def loss(xx, mode):
+        do_f, dh_f = CL.chamfer_dist_loss(
+            xx, n, y, o2h_g, h2o_g, vw2, y_group=y_group, tile=tile,
+            interpret=True, sel_impl=mode,
+        )
+        return jnp.sum(a * do_f) + jnp.sum(b * dh_f), (do_f, dh_f)
+
+    (v0, (do0, dh0)), g0 = jax.value_and_grad(
+        lambda xx: loss(xx, "mxu"), has_aux=True
+    )(x)
+    (v1, (do1, dh1)), g1 = jax.value_and_grad(
+        lambda xx: loss(xx, sel_impl), has_aux=True
+    )(x)
+    np.testing.assert_allclose(np.asarray(do1), np.asarray(do0), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh0), rtol=2e-4)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-3, atol=1e-4)
+
+
 def test_fused_y_valid_parity():
     rng = np.random.default_rng(2)
     F, P1, P2, tile = 4, 13, 700, 512

@@ -156,9 +156,14 @@ def test_point2point_h2o_pallas_value_and_grad():
 
 
 def test_grad_y_false_pallas_matches_gx_and_zeros_gy():
-    """grad_y=False must leave gx bit-identical (the nogy kernels drop ONLY
-    the gy one-hot matmuls) and return exactly zero gy — for both the signed
-    and the h2o-only all-pairs kernels."""
+    """grad_y=False must leave gx equal to the grad_y=True gradient and
+    return exactly zero gy — for both the signed and the h2o-only all-pairs
+    kernels. Signed: bit-identical (the nogy kernel drops ONLY the gy
+    one-hot matmuls). h2o: allclose at f32 rounding — its grad_y=False
+    backward is the dvec path (x - y* from CENTERED coordinates carried out
+    of the forward kernel, chamfer_pallas._nn_h2o_dvec_kernel) vs the legacy
+    backward kernel's uncentered subtraction; algebraically identical,
+    last-ulp different."""
     rng = np.random.default_rng(23)
     x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32) * 0.1)
     y = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32) * 0.2)
@@ -185,6 +190,8 @@ def test_grad_y_false_pallas_matches_gx_and_zeros_gy():
 
     gx_t, gy_t = jax.grad(lambda a, b: loss_h2o(a, b, True), argnums=(0, 1))(x, y)
     gx_f, gy_f = jax.grad(lambda a, b: loss_h2o(a, b, False), argnums=(0, 1))(x, y)
-    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_t))
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_t), rtol=1e-5, atol=1e-7
+    )
     assert np.any(np.asarray(gy_t) != 0.0)
     np.testing.assert_array_equal(np.asarray(gy_f), np.zeros_like(gy_f))
