@@ -279,8 +279,13 @@ def main():
     # queue, no per-step host sync); ONE final value fetch closes the chain.
     # Stability (round-3 verdict #3): calibrate with `ref_iters` steps, then
     # extend each repetition to >= BENCH_REF_SECS of wall time and take the
-    # MEDIAN per-step time of BENCH_REF_REPS repetitions — the archived
-    # vs_baseline must not move +-30% with host load.
+    # MINIMUM per-step time of BENCH_REF_REPS repetitions. The emulation is
+    # dispatch-bound, so host-CPU interference only ever ADDS time; min-of-N
+    # is both the least-noisy estimator of the true per-step cost (the
+    # headline numerator already uses best-of-n, _timeit above) and the
+    # conservative one for the ratio (fastest reference -> lowest
+    # vs_baseline). The round-3 median still moved 2x with a concurrent
+    # pytest run; the min across reps with >= one quiet rep does not.
     def _emulate(n_iters):
         t_start = time.perf_counter()
         nonlocal xx
@@ -293,7 +298,7 @@ def main():
     cal_step = _emulate(ref_iters)
     long_iters = max(ref_iters, min(20000, int(ref_secs / max(cal_step, 1e-6))))
     rep_times = sorted(_emulate(long_iters) for _ in range(ref_reps))
-    ref_step_time = rep_times[ref_reps // 2]  # median
+    ref_step_time = rep_times[0]  # min (see note above)
     ref_sps = 1.0 / (ref_step_time * steps)  # bs=1 sample takes `steps` dispatches
     spread = (rep_times[-1] - rep_times[0]) / ref_step_time
     extra["ref_emulation"] = {
@@ -303,9 +308,16 @@ def main():
     }
     print(
         f"# reference-structure emulation: {ref_sps:.4f} samples/s/chip "
-        f"(median of {ref_reps} x {long_iters} steps, spread {spread:.1%})",
+        f"(min of {ref_reps} x {long_iters} steps, spread {spread:.1%})",
         file=sys.stderr,
     )
+    if spread > 0.25:
+        print(
+            f"# WARNING: emulation rep spread {spread:.1%} > 25% — host-CPU "
+            f"interference likely; vs_baseline uses the min rep but rerun on "
+            f"an idle host to confirm.",
+            file=sys.stderr,
+        )
 
     # absolute-throughput regression gate vs the previous round's artifact:
     # vs_baseline is a RATIO and inherits emulation noise; the absolute
@@ -611,19 +623,23 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
     trunk_dt = timeit(trunk_call)
     del exe, step, state, holder
 
-    # MANO: pred fwd+bwd (grad wrt pose_repr) + GT fwd — the step's content
-    def mano_probe(pose):
+    # MANO: pred fwd+bwd (grad wrt pose_repr) + GT fwd — the step's content.
+    # Every operand is an explicit jit argument: closed-over arrays embed as
+    # HLO literals and blow the tunnel's remote_compile body limit (HTTP 413).
+    def mano_probe(pose, shape, hand_side):
         g = jax.grad(
             lambda p: sum(jnp.sum(t) for t in batch_recover_mano(
-                mano_stack, p, batch["shape"], batch["hand_side"]))
+                mano_stack, p, shape, hand_side))
         )(pose)
-        gt = batch_recover_mano(
-            mano_stack, batch["pose_repr"], batch["shape"], batch["hand_side"]
-        )
+        gt = batch_recover_mano(mano_stack, pose, shape, hand_side)
         return jnp.sum(g) + sum(jnp.sum(t) for t in gt)
 
-    exe = jax.jit(mano_probe).lower(batch["pose_repr"]).compile()
-    mano_dt = timeit(lambda: exe(batch["pose_repr"]))
+    mano_args = (
+        jnp.asarray(batch["pose_repr"]), jnp.asarray(batch["shape"]),
+        jnp.asarray(batch["hand_side"]),
+    )
+    exe = jax.jit(mano_probe).lower(*mano_args).compile()
+    mano_dt = timeit(lambda: exe(*mano_args))
     del exe
 
     # chamfer: the step's actual dist content — GT signed fwd (the composed
@@ -651,16 +667,17 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
         lambda v, n, tf, pts: LL._per_object_signed(v, n, tf, pts, chunk)
     )(verts, normals, transf, obj_points)
 
-    def pred_probe(v):
+    # explicit args only (see mano_probe note): o2h_g alone is 671 MB at the
+    # production shape — closing over it 413s the tunnel compile
+    def pred_probe(v, n, tf, pts, og, hg, vw):
         def f(vv):
-            do_f, dh_f = LL._dist_sums_fused(
-                vv, normals, transf, obj_points, o2h_g, h2o_g, vw2, chunk
-            )
+            do_f, dh_f = LL._dist_sums_fused(vv, n, tf, pts, og, hg, vw, chunk)
             return jnp.sum(do_f) + jnp.sum(dh_f)
         return jnp.sum(jax.grad(f)(v))
 
-    exe = jax.jit(pred_probe).lower(verts).compile()
-    pred_chamfer_dt = timeit(lambda: exe(verts))
+    pred_args = (verts, normals, transf, obj_points, o2h_g, h2o_g, vw2)
+    exe = jax.jit(pred_probe).lower(*pred_args).compile()
+    pred_chamfer_dt = timeit(lambda: exe(*pred_args))
     # with the GT-geometry cache (production default) the step never runs
     # the GT fwd — only the pred fused pass counts against the step time
     chamfer_dt = pred_chamfer_dt + (0.0 if gt_cache else gt_chamfer_dt)

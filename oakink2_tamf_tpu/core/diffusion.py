@@ -304,18 +304,38 @@ def p_mean_variance(
     """
     model_output = model_fn(x, model_timesteps(sched, t))
 
-    if model_var_type == ModelVarType.FIXED_SMALL:
+    if model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
+        # model emits 2C channels: [mean-prediction | variance values]
+        # (gd.py:259-271; split on the LAST axis — this framework is
+        # channel-last [bs, seq, C] vs the reference's [bs, C, 1, seq])
+        C = x.shape[-1]
+        if model_output.shape[-1] != 2 * C:
+            raise ValueError(
+                f"learned variance expects model output with {2 * C} channels, "
+                f"got {model_output.shape[-1]}"
+            )
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        if model_var_type == ModelVarType.LEARNED:
+            log_variance = model_var_values
+            variance = jnp.exp(log_variance)
+        else:
+            # var values in [-1, 1] interpolate [posterior_var, beta] in
+            # log space (gd.py:266-271)
+            min_log = _extract(sched.posterior_log_variance_clipped, t, x.ndim)
+            max_log = _extract(jnp.log(sched.betas), t, x.ndim)
+            frac = (model_var_values + 1) / 2
+            log_variance = frac * max_log + (1 - frac) * min_log
+            variance = jnp.exp(log_variance)
+    elif model_var_type == ModelVarType.FIXED_SMALL:
         variance = _extract(sched.posterior_variance, t, x.ndim)
         log_variance = _extract(sched.posterior_log_variance_clipped, t, x.ndim)
-    elif model_var_type == ModelVarType.FIXED_LARGE:
+    else:  # FIXED_LARGE
         # betas with beta_0 replaced by posterior_variance[1] (gd.py:276-284)
         betas_large = jnp.concatenate(
             [sched.posterior_variance[1:2], sched.betas[1:]], axis=0
         )
         variance = _extract(betas_large, t, x.ndim)
         log_variance = jnp.log(variance)
-    else:
-        raise NotImplementedError("learned variance not used by TaMF")
 
     def process_xstart(xs):
         if denoised_fn is not None:
@@ -852,22 +872,60 @@ def training_losses(
     key: jax.Array,
     *,
     model_mean_type: ModelMeanType = ModelMeanType.START_X,
+    model_var_type: ModelVarType = ModelVarType.FIXED_SMALL,
+    loss_type: LossType = LossType.MSE,
     noise: jax.Array | None = None,
 ):
     """Masked-MSE diffusion loss; returns (per-sample loss [bs], aux dict with
     model_output for geometric extra losses — the reference's loss_callback hook
-    gd.py:1182 becomes 'caller composes on model_output')."""
+    gd.py:1182 becomes 'caller composes on model_output').
+
+    KL/RESCALED_KL route the full loss through the variational bound
+    (gd.py:1135-1147); MSE with a LEARNED* variance adds a frozen-mean vb
+    term to the aux dict (gd.py:1148-1168). NOTE the reference deviates from
+    upstream guided-diffusion by NOT folding the vb term into "loss"
+    (gd.py:1180-1181 sets loss = mse; the upstream `mse + vb` line is
+    commented out there) — we match the reference: aux["vb"] is reported,
+    callers opt in to adding it."""
     if noise is None:
         noise = jax.random.normal(key, x_start.shape, x_start.dtype)
     x_t = q_sample(sched, x_start, t, noise)
+
+    if loss_type in (LossType.KL, LossType.RESCALED_KL):
+        vb = vb_terms_bpd(
+            model_fn, sched, x_start, x_t, t, clip_denoised=False,
+            model_mean_type=model_mean_type, model_var_type=model_var_type,
+        )
+        loss = vb["output"]
+        if loss_type == LossType.RESCALED_KL:
+            loss = loss * sched.num_timesteps
+        return loss, {"x_t": x_t, "pred_xstart": vb["pred_xstart"]}
+
     model_output = model_fn(x_t, model_timesteps(sched, t))
+    aux = {"x_t": x_t}
+    if model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        # variance learns through the variational bound with the mean
+        # prediction FROZEN (gd.py:1155-1164)
+        frozen_out = jnp.concatenate(
+            [jax.lax.stop_gradient(model_output), model_var_values], axis=-1
+        )
+        vb = vb_terms_bpd(
+            lambda *_: frozen_out, sched, x_start, x_t, t, clip_denoised=False,
+            model_mean_type=model_mean_type, model_var_type=model_var_type,
+        )["output"]
+        if loss_type == LossType.RESCALED_MSE:
+            # 1/1000 keeps the vb term from swamping the mse (gd.py:1165-1168)
+            vb = vb * (sched.num_timesteps / 1000.0)
+        aux["vb"] = vb
     target = {
         ModelMeanType.START_X: x_start,
         ModelMeanType.EPSILON: noise,
         ModelMeanType.PREVIOUS_X: q_posterior_mean_variance(sched, x_start, x_t, t)[0],
     }[model_mean_type]
     mse = masked_l2(target, model_output, mask)
-    return mse, {"model_output": model_output, "x_t": x_t, "target": target}
+    aux.update(model_output=model_output, target=target)
+    return mse, aux
 
 
 # ---------------------------------------------------------------------------
@@ -907,11 +965,13 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
 
 
 def vb_terms_bpd(model_fn, sched, x_start, x_t, t, *, clip_denoised=False,
-                 model_mean_type=ModelMeanType.START_X):
+                 model_mean_type=ModelMeanType.START_X,
+                 model_var_type=ModelVarType.FIXED_SMALL):
     """KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)) in bits, decoder NLL at t=0."""
     true_mean, _, true_log_var = q_posterior_mean_variance(sched, x_start, x_t, t)
     out = p_mean_variance(
-        model_fn, sched, x_t, t, clip_denoised=clip_denoised, model_mean_type=model_mean_type
+        model_fn, sched, x_t, t, clip_denoised=clip_denoised,
+        model_mean_type=model_mean_type, model_var_type=model_var_type,
     )
     kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
     kl = mean_flat(kl) / np.log(2.0)

@@ -26,22 +26,18 @@ if _HAS_REF:
 needs_ref = pytest.mark.skipif(not _HAS_REF, reason="reference repo/torch unavailable")
 
 
-def make_ref(steps=50, schedule="cosine", respacing=""):
+def make_ref(steps=50, schedule="cosine", respacing="", var_type="FIXED_SMALL",
+             loss_type="MSE"):
     betas = ref_gd.get_named_beta_schedule(schedule, steps)
-    if respacing:
-        return SpacedDiffusion(
-            use_timesteps=ref_space(steps, respacing),
-            betas=betas,
-            model_mean_type=ref_gd.ModelMeanType.START_X,
-            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
-            loss_type=ref_gd.LossType.MSE,
-        )
-    return ref_gd.GaussianDiffusion(
+    kw = dict(
         betas=betas,
         model_mean_type=ref_gd.ModelMeanType.START_X,
-        model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
-        loss_type=ref_gd.LossType.MSE,
+        model_var_type=getattr(ref_gd.ModelVarType, var_type),
+        loss_type=getattr(ref_gd.LossType, loss_type),
     )
+    if respacing:
+        return SpacedDiffusion(use_timesteps=ref_space(steps, respacing), **kw)
+    return ref_gd.GaussianDiffusion(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -505,4 +501,167 @@ def test_calc_bpd_loop_parity():
     # total_bpd is dominated by the t=0 decoder NLL -> same 2% bound.
     np.testing.assert_allclose(
         np.asarray(out["total_bpd"]), ref_out["total_bpd"].numpy(), rtol=2e-2
+    )
+
+
+# ---------------------------------------------------------------------------
+# learned-variance / KL loss branches (gd.py:259-271, 1135-1168)
+# ---------------------------------------------------------------------------
+
+
+@needs_ref
+@pytest.mark.parametrize("var_type", ["LEARNED", "LEARNED_RANGE"])
+def test_p_mean_variance_learned_parity(var_type):
+    """p_mean_variance with a 2C-channel model: mean/variance/pred_xstart must
+    match the reference's LEARNED/LEARNED_RANGE split (gd.py:259-271). The
+    model concat's (0.3x, tanh(x)) on the channel axis, which commutes with
+    the layout transpose."""
+    import torch
+
+    steps = 40
+    ref = make_ref(steps, var_type=var_type)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(11)
+    bs, C, L = 3, 7, 9
+    x = rng.normal(size=(bs, C, 1, L)).astype(np.float32)
+    t = rng.integers(0, steps, size=(bs,))
+
+    class RefModel(torch.nn.Module):
+        def forward(self, xx, tt, **kw):
+            return torch.cat([0.3 * xx, torch.tanh(xx)], dim=1)
+
+    ref_out = ref.p_mean_variance(
+        RefModel(), torch.from_numpy(x), torch.from_numpy(t), clip_denoised=False
+    )
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    def ref2ours(a):
+        return np.transpose(a.numpy()[:, :, 0, :], (0, 2, 1))
+
+    my_out = D.p_mean_variance(
+        lambda xx, tt: jnp.concatenate([0.3 * xx, jnp.tanh(xx)], axis=-1),
+        mine, to_ours(x), jnp.asarray(t), clip_denoised=False,
+        model_var_type=getattr(D.ModelVarType, var_type),
+    )
+    for k in ("mean", "variance", "log_variance", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(my_out[k]), ref2ours(ref_out[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
+
+
+@needs_ref
+@pytest.mark.parametrize("loss_type", ["MSE", "RESCALED_MSE"])
+def test_training_losses_learned_range_parity(loss_type):
+    """training_losses with LEARNED_RANGE: loss stays the masked mse of the
+    mean half (the reference does NOT fold vb into loss — gd.py:1180-1181)
+    and aux["vb"] matches the reference's frozen-mean vb term."""
+    import torch
+
+    steps = 32
+    ref = make_ref(steps, var_type="LEARNED_RANGE", loss_type=loss_type)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(5)
+    bs, C, L = 3, 6, 11
+    x0 = rng.normal(size=(bs, C, 1, L)).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    # t >= 1: the t=0 vb row is the decoder NLL whose near-zero posterior std
+    # amplifies f32 rounding ~1e5x (tolerance note at test_calc_bpd_loop_parity,
+    # which covers the t=0 row at its own bound)
+    t = rng.integers(1, steps, size=(bs,))
+    mask = (rng.random((bs, L)) > 0.25).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def forward(self, xx, tt, **kw):
+            return torch.cat([0.3 * xx, torch.tanh(xx)], dim=1)
+
+    batch = {"mask": torch.from_numpy(mask)}
+    terms, _ = ref.training_losses(
+        RefModel(), torch.from_numpy(x0), torch.from_numpy(t),
+        model_kwargs={"batch": batch}, noise=torch.from_numpy(noise),
+    )
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    my_loss, aux = D.training_losses(
+        lambda xx, tt: jnp.concatenate([0.3 * xx, jnp.tanh(xx)], axis=-1),
+        mine, to_ours(x0), jnp.asarray(t), jnp.asarray(mask),
+        jax.random.PRNGKey(0), noise=to_ours(noise),
+        model_var_type=D.ModelVarType.LEARNED_RANGE,
+        loss_type=getattr(D.LossType, loss_type),
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_loss), terms["loss"].numpy(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["vb"]), terms["vb"].numpy(), rtol=1e-4, atol=1e-6
+    )
+    # the variance head learns through vb; the frozen mean must NOT
+    grad = jax.grad(
+        lambda s: jnp.sum(
+            D.training_losses(
+                lambda xx, tt: jnp.concatenate(
+                    [s * 0.3 * xx, jnp.tanh(xx)], axis=-1
+                ),
+                mine, to_ours(x0), jnp.asarray(t), jnp.asarray(mask),
+                jax.random.PRNGKey(0), noise=to_ours(noise),
+                model_var_type=D.ModelVarType.LEARNED_RANGE,
+                loss_type=getattr(D.LossType, loss_type),
+            )[1]["vb"]
+        )
+    )(1.0)
+    np.testing.assert_allclose(float(grad), 0.0, atol=1e-12)
+
+
+@needs_ref
+@pytest.mark.parametrize("loss_type", ["KL", "RESCALED_KL"])
+def test_training_losses_kl_parity(loss_type):
+    """KL/RESCALED_KL loss types route the whole loss through the variational
+    bound (gd.py:1135-1147). The reference's own training_losses KL branch is
+    unreachable as written (UnboundLocalError on extra_loss, gd.py:1188 —
+    only the MSE branch assigns it), so parity is checked against the
+    quantity it computes: _vb_terms_bpd(...)["output"], scaled by
+    num_timesteps for RESCALED_KL."""
+    import torch
+
+    steps = 32
+    ref = make_ref(steps, loss_type=loss_type)
+    mine = D.make_schedule(D.get_named_beta_schedule("cosine", steps))
+    rng = np.random.default_rng(9)
+    bs, C, L = 3, 6, 11
+    x0 = rng.normal(size=(bs, C, 1, L)).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    # avoid t=0: the reference decoder-NLL row divides by a near-zero
+    # posterior std (see test_calc_bpd_loop_parity's t=0 tolerance note)
+    t = rng.integers(1, steps, size=(bs,))
+    mask = (rng.random((bs, L)) > 0.25).astype(np.float32)
+
+    class RefModel(torch.nn.Module):
+        def forward(self, xx, tt, **kw):
+            return 0.3 * xx
+
+    x_t = ref.q_sample(
+        torch.from_numpy(x0), torch.from_numpy(t), torch.from_numpy(noise)
+    )
+    ref_loss = ref._vb_terms_bpd(
+        RefModel(), torch.from_numpy(x0), x_t, torch.from_numpy(t),
+        clip_denoised=False,
+    )["output"].numpy()
+    if loss_type == "RESCALED_KL":
+        ref_loss = ref_loss * steps
+
+    def to_ours(a):
+        return jnp.asarray(np.transpose(a[:, :, 0, :], (0, 2, 1)))
+
+    my_loss, _ = D.training_losses(
+        lambda xx, tt: 0.3 * xx,
+        mine, to_ours(x0), jnp.asarray(t), jnp.asarray(mask),
+        jax.random.PRNGKey(0), noise=to_ours(noise),
+        loss_type=getattr(D.LossType, loss_type),
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_loss), ref_loss, rtol=1e-4, atol=1e-5
     )
