@@ -19,8 +19,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import transforms as T
+
+# "auto" routes h2o-only searches to the bounds-culled exact kernel at or
+# above this cloud size (>= 8 cull tiles of 512); below it the cull
+# degenerates to the all-pairs kernel plus mask-prep overhead
+CULL_MIN_P2 = 4096
 
 
 def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
@@ -240,9 +246,13 @@ def point2point_h2o(
     direction; the o2h/sign work of point2point_signed — a measured ~40% of
     the fused kernel — is skipped entirely on the TPU path.
 
-    Backends: "auto" = the EXACT all-pairs Pallas kernel on TPU, XLA
-    elsewhere; "pallas"/"exact" force the exact kernel; "xla" the streaming
-    scan; "cluster" is the pruned kernel as an OPT-IN. Round 4 removed the
+    Backends: "auto" = the bounds-culled EXACT kernel (ops/chamfer_cull.py)
+    on TPU for grad_y=False searches at P2 >= CULL_MIN_P2 (bit-identical
+    values to all-pairs, triangle-inequality skip — no candidate budget, no
+    overflow mode), the all-pairs Pallas kernel for everything else on TPU,
+    XLA elsewhere; "cull" forces the culled kernel; "pallas"/"exact" force
+    the all-pairs kernel; "xla" the streaming scan; "cluster" is the pruned
+    kernel as an OPT-IN. Round 4 removed the
     cluster kernel from "auto": its k_cells=24 candidate budget was tuned on
     a compact (4 cm) x blob, and with a real full-size hand (anatomical
     128-vert tiles spanning 2-4 cm) every realistic scene measured at
@@ -271,6 +281,36 @@ def point2point_h2o(
         return CC.point2point_h2o_cluster(
             x, y, y_valid=y_valid, yT=yT, x_perm=x_perm, interpret=interpret,
             grad_y=grad_y, y_group=y_group, **kw
+        )
+    if backend == "cull" or (
+        backend == "auto" and _on_tpu() and not grad_y
+        and (yT.shape[-1] if y is None else y.shape[1]) >= CULL_MIN_P2
+    ):
+        # bounds-culled EXACT kernel (ops/chamfer_cull.py): bit-identical
+        # values to the all-pairs kernel, strictly less work — triangle-
+        # inequality skip, no candidate budget, no overflow mode. grad_y
+        # stays unsupported (TaMF never differentiates the object clouds).
+        # "auto" routes here only at production-scale clouds: below
+        # CULL_MIN_P2 there is one tile per object and the cull degenerates
+        # to the exact kernel plus mask-prep overhead.
+        if grad_y:
+            raise NotImplementedError("backend='cull' requires grad_y=False")
+        from ..ops.chamfer_cull import point2point_h2o_cull
+
+        if x_perm is not None:
+            # spatially sorted rows tighten the per-region radii; any
+            # permutation is value-neutral (distances map back through the
+            # inverse permutation)
+            x_perm = np.asarray(x_perm)
+            inv = np.argsort(x_perm)
+            d = point2point_h2o_cull(
+                x[:, x_perm], y=y, y_valid=y_valid, yT=yT,
+                y_group=y_group, interpret=interpret,
+            )
+            return d[:, inv]
+        return point2point_h2o_cull(
+            x, y=y, y_valid=y_valid, yT=yT, y_group=y_group,
+            interpret=interpret,
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)

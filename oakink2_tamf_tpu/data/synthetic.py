@@ -62,6 +62,20 @@ def synthetic_batch(
     obj_rot6d = _random_rot6d(rng, (bs, max_nobj, L))
     obj_traj = np.concatenate([obj_tsl, obj_rot6d], axis=-1)
 
+    # canonical clouds, spatially sorted — the REAL pipeline's collate
+    # contract (data/collate.py:74-95): contiguous leaf blocks are compact,
+    # which the culled/cluster chamfer kernels' tile bounds rely on for
+    # speed (never for correctness). Unsorted synthetic clouds would make
+    # benches understate production kernels.
+    from ..utils.pc_util import spatial_sort_indices
+
+    obj_points = rng.normal(
+        scale=0.1, size=(bs, max_nobj, n_obj_points, 3)
+    ).astype(np.float32)
+    for i in range(bs):
+        for j in range(max_nobj):
+            obj_points[i, j] = obj_points[i, j][spatial_sort_indices(obj_points[i, j])]
+
     batch = {
         "pose_repr": pose_repr,
         "mask": mask,
@@ -72,7 +86,7 @@ def synthetic_batch(
         "obj_traj": obj_traj,
         "obj_embedding": rng.normal(size=(bs, max_nobj, 768)).astype(np.float32),
         "obj_mask": obj_mask,
-        "obj_points": rng.normal(scale=0.1, size=(bs, max_nobj, n_obj_points, 3)).astype(np.float32),
+        "obj_points": obj_points,
         "action_label_id": rng.integers(0, 70, size=(bs,)).astype(np.int32),
     }
     if as_jax:

@@ -78,11 +78,14 @@ def reg_train_param(reg: ConfigRegistry, default_epochs: int = 400) -> None:
                       "(ops/chamfer_loss; auto picks it on TPU), composed = "
                       "point2point_signed + XLA loss math (the parity oracle)")
     reg.register("h2o_backend", prefix="train", category=str, default="auto",
-                 choices=["auto", "exact", "pallas", "cluster", "xla"],
-                 desc="h2o NN route: auto = exact kernels; cluster = the "
-                      "pruned kernel OPT-IN (monitored by the val-epoch "
-                      "exactness certificate — only sound when its candidate "
-                      "budget covers the cloud's cells)")
+                 choices=["auto", "cull", "exact", "pallas", "cluster", "xla"],
+                 desc="h2o NN route: auto = exact kernels (the bounds-culled "
+                      "exact kernel at production cloud sizes on TPU — "
+                      "bit-identical values, triangle-inequality skip); cull "
+                      "forces it; cluster = the pruned kernel OPT-IN "
+                      "(monitored by the val-epoch exactness certificate — "
+                      "only sound when its candidate budget covers the "
+                      "cloud's cells)")
     reg.register("eval_max_batches", prefix="train", category=int, default=0,
                  desc="val/test batches per eval pass; 0 = the FULL split "
                       "(reference parity, launch/train.py:577-656)")

@@ -200,10 +200,17 @@ def multi_object_h2o_dist(
     # variants skip the o2h/sign work entirely on TPU. grad_y=False: the
     # object clouds come from the batch (obj_traj x canonical points), never
     # from model params, so the backward drops the gy matmul and its
-    # serializing accumulation (the cluster kernel's backward bottleneck)
+    # serializing accumulation (the cluster kernel's backward bottleneck).
+    # Padded object slots ride in as all-invalid clouds: their (masked-off
+    # anyway, see the where below) distances come out BIG and the culled
+    # kernel skips their every tile — a full free search per pad slot.
+    P = obj_points.shape[2]
+    y_valid = jnp.broadcast_to(
+        obj_mask.reshape(bs * nobj, 1), (bs * nobj, P)
+    )
     h2o = G.point2point_h2o(
-        flat_h, yT=flat_oT, chunk=chunk, x_perm=x_perm, backend=backend,
-        grad_y=False, y_group=L, interpret=interpret,
+        flat_h, yT=flat_oT, y_valid=y_valid, chunk=chunk, x_perm=x_perm,
+        backend=backend, grad_y=False, y_group=L, interpret=interpret,
     )
     h2o = h2o.reshape(bs, nobj, L, nhv)
     # padded object slots lose the union min (the reference masks their
