@@ -239,8 +239,14 @@ def point2point_h2o(
     interpret: bool = False,
     grad_y: bool = True,
     y_group: int = 1,
+    x_valid: jax.Array | None = None,
 ) -> jax.Array:
     """Unsigned x->y nearest distances [N, P1] only.
+
+    `x_valid` [N] is a CULLING HINT for the cull route: False frames' outputs
+    are unspecified (BIG on the cull route, real distances elsewhere) —
+    callers must mask them (the loss-side call sites zero those frames
+    anyway). Other backends ignore it.
 
     R's refine path (segment_refine_model.py:142-168) consumes only this
     direction; the o2h/sign work of point2point_signed — a measured ~40% of
@@ -305,12 +311,12 @@ def point2point_h2o(
             inv = np.argsort(x_perm)
             d = point2point_h2o_cull(
                 x[:, x_perm], y=y, y_valid=y_valid, yT=yT,
-                y_group=y_group, interpret=interpret,
+                y_group=y_group, x_valid=x_valid, interpret=interpret,
             )
             return d[:, inv]
         return point2point_h2o_cull(
             x, y=y, y_valid=y_valid, yT=yT, y_group=y_group,
-            interpret=interpret,
+            x_valid=x_valid, interpret=interpret,
         )
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)

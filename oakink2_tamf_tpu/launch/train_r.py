@@ -279,7 +279,7 @@ def refine_forward_eval(net, params, mano_stack, batch, h2o_backend="auto"):
 
     return refine_forward(
         net, params, mano_stack, batch, deterministic=True,
-        h2o_backend=h2o_backend,
+        h2o_backend=h2o_backend, loss_frame_mask=batch["mask"],
     )
 
 

@@ -177,6 +177,12 @@ def multi_object_h2o_dist(
     backend: str = "auto",  # "exact" forces the platform's exact route
     # (data/target_cache's overflow fallback; see multi_object_h2o_overflow)
     interpret: bool = False,  # Pallas interpret mode (CPU tests)
+    frame_mask: jax.Array | None = None,  # [bs, L] LOSS-SIDE ONLY: mask-
+    # padded frames cull every tile on the cull route and come out BIG —
+    # callers must zero them (segment_refine_loss does). NEVER pass this on
+    # the network-input path (sample_h2o): the trunk keeps the reference's
+    # no-attention-mask contract, so padded-frame inputs must stay the real
+    # distances for checkpoint parity.
 ) -> jax.Array:
     """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
     reference's point2point_signed signs only o2h, which this path discards —
@@ -208,9 +214,19 @@ def multi_object_h2o_dist(
     y_valid = jnp.broadcast_to(
         obj_mask.reshape(bs * nobj, 1), (bs * nobj, P)
     )
+    x_valid = None
+    if frame_mask is not None:
+        # flat frame order is [bs, nobj, L] (matches flat_h's reshape): the
+        # per-sequence mask broadcasts over the object axis. The reference
+        # pays nothing for these frames (it runs segments at true length) —
+        # culling them recovers that under the static batch contract.
+        x_valid = jnp.broadcast_to(
+            (frame_mask > 0)[:, None, :], (bs, nobj, L)
+        ).reshape(bs * nobj * L)
     h2o = G.point2point_h2o(
         flat_h, yT=flat_oT, y_valid=y_valid, chunk=chunk, x_perm=x_perm,
-        backend=backend, grad_y=False, y_group=L, interpret=interpret,
+        backend=backend, grad_y=False, y_group=L, x_valid=x_valid,
+        interpret=interpret,
     )
     h2o = h2o.reshape(bs, nobj, L, nhv)
     # padded object slots lose the union min (the reference masks their
@@ -254,6 +270,8 @@ def target_geometry(
     *,
     chunk: int = 2048,
     h2o_backend: str = "auto",
+    frame_mask: jax.Array | None = None,  # loss-side cull hint, see
+    # multi_object_h2o_dist — target_h2o only feeds the (masked) refine loss
 ) -> dict[str, jax.Array]:
     """Geometry of the GT target (ref :219-248 target branch).
 
@@ -272,6 +290,7 @@ def target_geometry(
             t_verts, t_normals, batch["obj_traj"], batch["obj_points"],
             batch["obj_mask"], chunk=chunk,
             x_perm=M.hand_template_perm(mano_stack), backend=h2o_backend,
+            frame_mask=frame_mask,
         )
     return {
         "target_hand_verts": jax.lax.stop_gradient(t_verts),
@@ -320,12 +339,22 @@ def refine_forward(
     rngs=None,
     sample_geom: dict[str, jax.Array] | None = None,
     h2o_backend: str = "auto",
+    loss_frame_mask: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Full reference forward (ref :170-250): geometry for the input sample,
     the network's residual refinement, geometry for the refined output, and
     (optionally) for the GT target — same output keys as the reference.
     Pass `sample_geom` (from sample_geometry) to reuse a precomputed input
-    branch (the train step computes it outside the grad closure)."""
+    branch (the train step computes it outside the grad closure).
+
+    `loss_frame_mask` (usually batch["mask"]) marks mask-padded frames whose
+    refine/target h2o the loss zeroes: the cull route skips their searches
+    entirely and leaves BIG values there. It deliberately does NOT touch
+    sample_h2o — that is a NETWORK INPUT, and the trunk keeps the
+    reference's no-attention-mask contract, so padded-frame inputs must stay
+    real distances for checkpoint parity. Callers that READ refine/target
+    h2o at padded frames (none do: the loss masks, debug_refine slices to
+    true length) must not pass it."""
     x_in = batch["sample_pose_repr"]
     cond = {
         "hand_side": batch["hand_side"],
@@ -355,7 +384,7 @@ def refine_forward(
     r_h2o = multi_object_h2o_dist(
         r_verts, r_normals, batch["obj_traj"], obj_pts, batch["obj_mask"],
         chunk=chunk, x_perm=M.hand_template_perm(mano_stack),
-        backend=h2o_backend,
+        backend=h2o_backend, frame_mask=loss_frame_mask,
     )
 
     res = {
@@ -372,6 +401,9 @@ def refine_forward(
 
     if with_target:
         res.update(
-            target_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+            target_geometry(
+                mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend,
+                frame_mask=loss_frame_mask,
+            )
         )
     return res

@@ -77,7 +77,7 @@ def _region_layout(P1: int, P1p: int):
 # ---------------------------------------------------------------------------
 
 
-def _cull_mask(x, y, y_valid, tile, y_group, P1p):
+def _cull_mask(x, y, y_valid, tile, y_group, P1p, x_valid=None):
     """compute-flag mask [F, R, T] i32 (1 = run the block) + diagnostics.
 
     All geometry here is bound computation only — exactness never depends on
@@ -158,6 +158,12 @@ def _cull_mask(x, y, y_valid, tile, y_group, P1p):
     # every tile to produce values the caller masks off anyway — cull them
     # all instead (outputs come out BIG; callers never read them).
     run = jnp.logical_and(run, jnp.isfinite(d_tile))
+    if x_valid is not None:
+        # frame-level skip (mask-padded frames whose outputs the loss zeroes
+        # anyway): the reference pays NOTHING for them — it runs segments at
+        # their true length — so skipping here recovers its dynamic-shape
+        # advantage under this framework's static batch contract
+        run = jnp.logical_and(run, x_valid[:, None, None])
     return run.astype(jnp.int32)  # [F, R, T]
 
 
@@ -248,14 +254,14 @@ def _cull_dvec_kernel(mask_ref, xa_ref, ya_ref, h2o_d_ref, dvec_ref, h2od_s, yat
 # ---------------------------------------------------------------------------
 
 
-def _cull_forward(x, y, y_valid, tile, interpret, y_group, with_dvec):
+def _cull_forward(x, y, y_valid, x_valid, tile, interpret, y_group, with_dvec):
     xa, _, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
         x, y, y_valid, None, tile, y_group
     )
     assert fb == 1 and Fp == F
     R = _region_layout(P1, P1p)
     T = P2p // tile
-    mask = _cull_mask(x, y, y_valid, tile, y_group, P1p)
+    mask = _cull_mask(x, y, y_valid, tile, y_group, P1p, x_valid)
 
     grid = (F, T)
     in_specs = [
@@ -322,11 +328,15 @@ def point2point_h2o_cull(
     yT: jax.Array | None = None,
     tile: int = 2048,
     y_group: int = 1,
+    x_valid: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Bounds-culled EXACT x->y nearest distances [F, P1] (see module doc).
 
-    Identical values to point2point_h2o_pallas; gradient w.r.t. x only (the
+    Identical values to point2point_h2o_pallas for frames with
+    x_valid=True; an x_valid=False frame culls EVERY tile and its outputs
+    come out BIG (callers mask them — the loss-side call sites zero those
+    frames anyway). Gradient w.r.t. x only (the
     y cotangent is zero by the grad_y=False contract). `tile` is the cull
     granularity. With the EXACT per-tile lower bound (min centroid->point,
     not centroid - tile radius) the cull rate barely moves with tile size,
@@ -339,38 +349,42 @@ def point2point_h2o_cull(
         y = jnp.swapaxes(yT, 1, 2)
     if y_valid is None:
         y_valid = jnp.ones(y.shape[:2], bool)
+    if x_valid is None:
+        x_valid = jnp.ones((x.shape[0],), bool)
     tile = min(tile, _round_up(y.shape[1], 128))
-    return _cull_core(x, y, y_valid, tile, interpret, y_group)
+    return _cull_core(x, y, y_valid, x_valid, tile, interpret, y_group)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _cull_core(x, y, y_valid, tile, interpret, y_group):
-    h2o_d, _ = _cull_forward(x, y, y_valid, tile, interpret, y_group, False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _cull_core(x, y, y_valid, x_valid, tile, interpret, y_group):
+    h2o_d, _ = _cull_forward(x, y, y_valid, x_valid, tile, interpret, y_group, False)
     return jnp.sqrt(jnp.maximum(h2o_d, 0.0))
 
 
-def _cull_fwd(x, y, y_valid, tile, interpret, y_group):
+def _cull_fwd(x, y, y_valid, x_valid, tile, interpret, y_group):
     from jax.ad_checkpoint import checkpoint_name
 
-    h2o_d, dvec = _cull_forward(x, y, y_valid, tile, interpret, y_group, True)
+    h2o_d, dvec = _cull_forward(x, y, y_valid, x_valid, tile, interpret, y_group, True)
     dist = jnp.sqrt(jnp.maximum(h2o_d, 0.0))
     dist = checkpoint_name(dist, "chamfer_res")
     dvec = checkpoint_name(dvec, "chamfer_res")
     structs = (
         jax.ShapeDtypeStruct(y.shape, y.dtype),
         jax.ShapeDtypeStruct(y_valid.shape, y_valid.dtype),
+        jax.ShapeDtypeStruct(x_valid.shape, x_valid.dtype),
     )
     return dist, (dist, dvec, structs)
 
 
 def _cull_bwd(tile, interpret, y_group, residuals, cotangents):
-    dist, dvec, (y_s, valid_s) = residuals
+    dist, dvec, (y_s, valid_s, xv_s) = residuals
     P1 = dist.shape[1]
     xr = cotangents / jnp.maximum(dist, 1e-12)  # [F, P1]
     gxT = xr[:, None, :] * dvec[:, :, :P1]  # [F, 3, P1]
     gx = jnp.swapaxes(gxT, 1, 2)
     g_valid = np.zeros(valid_s.shape, dtype=jax.dtypes.float0)
-    return gx, jnp.zeros(y_s.shape, y_s.dtype), g_valid
+    g_xvalid = np.zeros(xv_s.shape, dtype=jax.dtypes.float0)
+    return gx, jnp.zeros(y_s.shape, y_s.dtype), g_valid, g_xvalid
 
 
 _cull_core.defvjp(_cull_fwd, _cull_bwd)

@@ -294,7 +294,10 @@ def make_r_train_step(
         # batch["target_h2o"] the target chamfer pass vanishes entirely
         # (ref recomputed all three branches inside the graph every step,
         # segment_refine_model.py:193-248)
-        tgt = target_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+        tgt = target_geometry(
+            mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend,
+            frame_mask=batch["mask"],
+        )
         sg = jax.lax.stop_gradient(
             sample_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
         )
@@ -304,7 +307,7 @@ def make_r_train_step(
                 net, params, mano_stack, batch,
                 deterministic=False, with_target=False, chunk=chunk,
                 rngs={"dropout": k_dropout}, sample_geom=sg,
-                h2o_backend=h2o_backend,
+                h2o_backend=h2o_backend, loss_frame_mask=batch["mask"],
             )
             out.update(tgt)
             loss, terms = LL.segment_refine_loss(assets, loss_cfg, out, batch)

@@ -256,3 +256,32 @@ def test_multi_object_padded_slot_matches_exact_route():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_multi_object_frame_mask_skips_and_loss_matches():
+    """frame_mask culls mask-padded frames on the cull route; valid frames
+    bit-match the unmasked run and masked frames come out large (the refine
+    loss zeroes them — the reference pays nothing for padded frames at all,
+    it runs segments at their true length)."""
+    from oakink2_tamf_tpu.models import refine_r as RR
+
+    rng = np.random.default_rng(13)
+    bs, L, nobj, P = 2, 4, 2, 640
+    hand = rng.normal(size=(bs, L, 778, 3)).astype(np.float32) * 0.05
+    normals = rng.normal(size=(bs, L, 778, 3)).astype(np.float32)
+    tsl = rng.normal(scale=0.2, size=(bs, nobj, L, 3))
+    r6 = np.tile(np.array([1.0, 0, 0, 0, 1.0, 0]), (bs, nobj, L, 1))
+    traj = jnp.asarray(np.concatenate([tsl, r6], axis=-1).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(bs, nobj, P, 3)).astype(np.float32) * 0.1)
+    omask = jnp.ones((bs, nobj), bool)
+    fmask = jnp.asarray(np.array([[1, 1, 0, 0], [1, 1, 1, 0]], np.float32))
+    args = (jnp.asarray(hand), jnp.asarray(normals), traj, pts, omask)
+    full = RR.multi_object_h2o_dist(*args, backend="cull", interpret=True)
+    culled = RR.multi_object_h2o_dist(
+        *args, backend="cull", interpret=True, frame_mask=fmask
+    )
+    valid = np.asarray(fmask) > 0
+    np.testing.assert_array_equal(
+        np.asarray(culled)[valid], np.asarray(full)[valid]
+    )
+    assert bool(jnp.all(culled[~valid] > 1e6))
