@@ -185,6 +185,8 @@ def _dist_sums_fused(
     h2o_g: jax.Array,  # [bs, nobj, L, 778]
     vw2: jax.Array,  # [778] v_weights2
     chunk: int,
+    seq_mask: jax.Array | None = None,  # [bs, L] frame mask
+    obj_mask: jax.Array | None = None,  # [bs, nobj] bool
     interpret: bool = False,
 ):
     """Fused dist_o/dist_h per-frame SUMS via ops/chamfer_loss: the predicted
@@ -197,10 +199,31 @@ def _dist_sums_fused(
     P = obj_points.shape[2]
     vh = verts.shape[2]
     x, n, yT = _canonical_operands(verts, normals, transf, obj_points)
+    # frame-level skip: mask-padded frames and padded object slots only ever
+    # feed the loss TIMES ZERO (the m3/om weights below) — the kernel emits
+    # zero sums/gradients for them without running their MXU passes. The
+    # reference pays nothing for either (true-length segments, real objects
+    # only), so this recovers its dynamic-shape advantage.
+    x_valid = None
+    if seq_mask is not None or obj_mask is not None:
+        fm = (
+            (seq_mask > 0)[:, None, :]
+            if seq_mask is not None
+            else jnp.ones((bs, 1, L), bool)
+        )
+        om = (
+            obj_mask.astype(bool)[:, :, None]
+            if obj_mask is not None
+            else jnp.ones((bs, nobj, 1), bool)
+        )
+        x_valid = jnp.broadcast_to(
+            jnp.logical_and(fm, om), (bs, nobj, L)
+        ).reshape(bs * nobj * L)
     do_f, dh_f = CL.chamfer_dist_loss(
         x, n, yT=yT,
         o2h_g=o2h_g.reshape(-1, P), h2o_g=h2o_g.reshape(-1, vh), vw2=vw2,
-        y_group=L, tile=G._clamp_tile(chunk, P), interpret=interpret,
+        y_group=L, tile=G._clamp_tile(chunk, P), x_valid=x_valid,
+        interpret=interpret,
     )
     return do_f.reshape(bs, nobj, L), dh_f.reshape(bs, nobj, L)
 
@@ -323,7 +346,9 @@ def interaction_segment_extra_loss(
             P = batch["obj_points"].shape[2]
             do_f, dh_f = _dist_sums_fused(
                 verts_pred, normals_pred, transf, batch["obj_points"],
-                o2h_g, h2o_g, assets.v_weights2, chunk, interpret=interpret,
+                o2h_g, h2o_g, assets.v_weights2, chunk,
+                seq_mask=mask, obj_mask=batch["obj_mask"],
+                interpret=interpret,
             )
             vh = verts_pred.shape[2]
             m3 = mask[:, None, :]  # [bs, 1, L]

@@ -70,7 +70,7 @@ def _dot_high(a, b, dims):
 
 
 def _dist_loss_kernel(
-    xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
+    valid_ref, xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
     v_ref, dh_ref, gxdo_ref, gxdh_ref,
     h2od_s, yat_s, gxdo_s,
     *, sel_impl: str = "mxu",
@@ -95,6 +95,43 @@ def _dist_loss_kernel(
     """
     c = pl.program_id(1)
     nc = pl.num_programs(1)
+    tile = ya_ref.shape[2]
+    P1p = xa_ref.shape[2]
+
+    # frame-level skip (valid_ref: SMEM i32, 0 = mask-padded frame or padded
+    # object slot): the loss consumes these frames' sums TIMES ZERO, and the
+    # reference pays nothing for them at all (it runs segments at their true
+    # length, objects only as many as exist) — so the whole body is gated
+    # and the outputs are zeroed instead. ~45% of production frames on
+    # real-data batch statistics.
+    fvalid = valid_ref[0, 0] != 0
+
+    @pl.when(jnp.logical_not(fvalid))
+    def _():
+        v_ref[0, 0, :] = jnp.zeros((tile,), jnp.float32)
+
+        @pl.when(c == nc - 1)
+        def _():
+            dh_ref[0, 0, :] = jnp.zeros((P1p,), jnp.float32)
+            gxdo_ref[0] = jnp.zeros((3, P1p), jnp.float32)
+            gxdh_ref[0] = jnp.zeros((3, P1p), jnp.float32)
+
+    @pl.when(fvalid)
+    def _dist_loss_body():
+        _dist_loss_step(
+            xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
+            v_ref, dh_ref, gxdo_ref, gxdh_ref, h2od_s, yat_s, gxdo_s,
+            c, nc, sel_impl,
+        )
+
+
+def _dist_loss_step(
+    xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
+    v_ref, dh_ref, gxdo_ref, gxdh_ref,
+    h2od_s, yat_s, gxdo_s,
+    c, nc, sel_impl,
+):
+    """The valid-frame body of _dist_loss_kernel (see its docstring)."""
     tile = ya_ref.shape[2]
     P1p = xa_ref.shape[2]
 
@@ -203,7 +240,8 @@ def _dist_loss_kernel(
 
 
 def _dist_loss_forward(
-    x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl="mxu"
+    x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
+    sel_impl="mxu",
 ):
     """Run the fused kernel. Returns (v_rows [F,P2], dh_rows [F,P1],
     gx_do [F,3,P1p], gx_dh [F,3,P1p]) — gx rows stay kernel-layout; the VJP
@@ -225,6 +263,11 @@ def _dist_loss_forward(
     hg = hg[:, None, :]  # [F, 1, P1p]
     vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
 
+    if x_valid is None:
+        vflag = jnp.ones((F, 1), jnp.int32)
+    else:
+        vflag = x_valid.astype(jnp.int32).reshape(F, 1)
+
     n_tiles = P2p // tile
     grid = (F, n_tiles)
     _ya_spec = pl.BlockSpec(
@@ -236,6 +279,7 @@ def _dist_loss_forward(
         functools.partial(_dist_loss_kernel, sel_impl=sel_impl),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             _ya_spec,
@@ -263,7 +307,7 @@ def _dist_loss_forward(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=_cost(16 * F * P1p * P2p, xa, xn, ya, og, hg),
         interpret=interpret,
-    )(xa, xn, ya, og, hg, vw)
+    )(vflag, xa, xn, ya, og, hg, vw)
     return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
 
 
@@ -279,6 +323,9 @@ def chamfer_dist_loss(
     yT: jax.Array | None = None,  # [G, 3, P2] coordinate-major alternative
     y_group: int = 1,
     tile: int = 2048,
+    x_valid: jax.Array | None = None,  # [F] bool: False = skip the frame
+    # entirely and emit ZERO sums/gradients (mask-padded frames, padded
+    # object slots — the caller's frame/object masks zero them anyway)
     interpret: bool = False,
     sel_impl: str = "mxu",
 ) -> tuple[jax.Array, jax.Array]:
@@ -296,23 +343,27 @@ def chamfer_dist_loss(
     chamfer_pallas._prep_operands)."""
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
+    if x_valid is None:
+        x_valid = jnp.ones((x.shape[0],), bool)
     return _dl_core(
-        x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group,
-        sel_impl,
+        x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret,
+        y_group, sel_impl,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl):
     out, _ = _dl_fwd(
-        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
+        sel_impl,
     )
     return out
 
 
-def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl):
+def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl):
     v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward(
-        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_impl
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
+        sel_impl,
     )
     do_f = jnp.sum(v_rows, axis=1)
     dh_f = jnp.sum(dh_rows, axis=1)
@@ -328,7 +379,7 @@ def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_i
     # zero cotangents (never the multi-hundred-MB GT fields themselves)
     structs = jax.tree.map(
         lambda a: None if a is None else jax.ShapeDtypeStruct(a.shape, a.dtype),
-        (n, y, y_valid, o2h_g, h2o_g, vw2),
+        (n, y, y_valid, o2h_g, h2o_g, vw2, x_valid),
         is_leaf=lambda a: a is None,
     )
     return (do_f, dh_f), (gx_do, gx_dh, x.shape[1], structs)
@@ -337,7 +388,7 @@ def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, interpret, y_group, sel_i
 def _dl_bwd(tile, interpret, y_group, sel_impl, residuals, cotangents):
     import numpy as np
 
-    gx_do, gx_dh, p1, (n_s, y_s, valid_s, og_s, hg_s, vw_s) = residuals
+    gx_do, gx_dh, p1, (n_s, y_s, valid_s, og_s, hg_s, vw_s, xv_s) = residuals
     c_do, c_dh = cotangents  # per-frame scalars [F]
     g = c_do[:, None, None] * gx_do + c_dh[:, None, None] * gx_dh  # [F,3,P1p]
     gx = jnp.swapaxes(g, 1, 2)[:, :p1, :]
@@ -345,9 +396,11 @@ def _dl_bwd(tile, interpret, y_group, sel_impl, residuals, cotangents):
     g_valid = (
         None if valid_s is None else np.zeros(valid_s.shape, dtype=jax.dtypes.float0)
     )
+    g_xvalid = np.zeros(xv_s.shape, dtype=jax.dtypes.float0)
     # only x is on any differentiation path (normals enter through sign()
     # with zero gradient a.e.; y / GT fields are batch-derived constants)
-    return gx, zeros(n_s), zeros(y_s), g_valid, zeros(og_s), zeros(hg_s), zeros(vw_s)
+    return (gx, zeros(n_s), zeros(y_s), g_valid, zeros(og_s), zeros(hg_s),
+            zeros(vw_s), g_xvalid)
 
 
 _dl_core.defvjp(_dl_fwd, _dl_bwd)

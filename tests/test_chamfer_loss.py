@@ -224,3 +224,40 @@ def test_fused_degenerate_padded_slot_is_zero_and_finite():
     assert float(v) == 0.0
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_chamfer_dist_loss_x_valid_skips_frames():
+    """x_valid=False frames emit exactly zero sums and zero gradients; valid
+    frames are bit-identical to the unmasked run."""
+    rng = np.random.default_rng(21)
+    F, G_, P1, P2, L = 8, 2, 778, 512, 4
+    x = jnp.asarray(rng.normal(size=(F, P1, 3)).astype(np.float32) * 0.05)
+    n = jnp.asarray(rng.normal(size=(F, P1, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(G_, P2, 3)).astype(np.float32) * 0.05)
+    og = jnp.asarray(rng.normal(size=(F, P2)).astype(np.float32) * 0.01)
+    hg = jnp.asarray(np.abs(rng.normal(size=(F, P1))).astype(np.float32) * 0.01)
+    vw2 = jnp.asarray(np.abs(rng.normal(size=(P1,))).astype(np.float32))
+    xv = jnp.asarray(np.array([1, 1, 0, 1, 0, 0, 1, 1], bool))
+
+    def run(x_valid):
+        return CL.chamfer_dist_loss(
+            x, n, y, o2h_g=og, h2o_g=hg, vw2=vw2, y_group=L,
+            x_valid=x_valid, interpret=True,
+        )
+
+    do_full, dh_full = run(None)
+    do_m, dh_m = run(xv)
+    v = np.asarray(xv)
+    np.testing.assert_array_equal(np.asarray(do_m)[v], np.asarray(do_full)[v])
+    np.testing.assert_array_equal(np.asarray(dh_m)[v], np.asarray(dh_full)[v])
+    np.testing.assert_array_equal(np.asarray(do_m)[~v], 0.0)
+    np.testing.assert_array_equal(np.asarray(dh_m)[~v], 0.0)
+
+    # gradients: zero rows at skipped frames, bit-equal at valid frames
+    gfull = jax.grad(lambda xx: jnp.sum(sum(CL.chamfer_dist_loss(
+        xx, n, y, o2h_g=og, h2o_g=hg, vw2=vw2, y_group=L, interpret=True))))(x)
+    gm = jax.grad(lambda xx: jnp.sum(sum(CL.chamfer_dist_loss(
+        xx, n, y, o2h_g=og, h2o_g=hg, vw2=vw2, y_group=L, x_valid=xv,
+        interpret=True))))(x)
+    np.testing.assert_array_equal(np.asarray(gm)[v], np.asarray(gfull)[v])
+    np.testing.assert_array_equal(np.asarray(gm)[~v], 0.0)
