@@ -104,7 +104,7 @@ def _dist_loss_kernel(
     # length, objects only as many as exist) — so the whole body is gated
     # and the outputs are zeroed instead. ~45% of production frames on
     # real-data batch statistics.
-    fvalid = valid_ref[0, 0] != 0
+    fvalid = valid_ref[0, 0, 0] != 0
 
     @pl.when(jnp.logical_not(fvalid))
     def _():
@@ -263,10 +263,13 @@ def _dist_loss_forward(
     hg = hg[:, None, :]  # [F, 1, P1p]
     vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
 
+    # [F, 1, 1] with a (1, 1, 1) block: TPU SMEM blocks must EQUAL the
+    # array's trailing dims (or be (8,128)-divisible) — a [F, 1]/(1, 1) spec
+    # fails Mosaic lowering on real TPU (it passes in interpret mode)
     if x_valid is None:
-        vflag = jnp.ones((F, 1), jnp.int32)
+        vflag = jnp.ones((F, 1, 1), jnp.int32)
     else:
-        vflag = x_valid.astype(jnp.int32).reshape(F, 1)
+        vflag = x_valid.astype(jnp.int32).reshape(F, 1, 1)
 
     n_tiles = P2p // tile
     grid = (F, n_tiles)
@@ -279,7 +282,7 @@ def _dist_loss_forward(
         functools.partial(_dist_loss_kernel, sel_impl=sel_impl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             _ya_spec,
