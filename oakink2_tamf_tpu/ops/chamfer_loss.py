@@ -53,6 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .chamfer_pallas import BIG, _cost, _dot, _prep_operands, _round_up
 
+# one hand-region = one 128-row block of the (optionally template-permuted)
+# x rows — same layout contract as ops/chamfer_cull.REGION_ROWS
+REGION_ROWS = 128
+
 
 def _dot_high(a, b, dims):
     """MXU matmul at HIGH precision (3 bf16 passes, ~2^-16 relative).
@@ -314,6 +318,332 @@ def _dist_loss_forward(
     return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
 
 
+# ---------------------------------------------------------------------------
+# region-culled variant: skip provably-losing [REGION_ROWS, tile] blocks
+# ---------------------------------------------------------------------------
+
+
+def _region_cull_mask(x, y, y_valid, tile, y_group, P1p, x_valid):
+    """Per-(frame, region, tile) compute flags [F, R, T] i32:
+    0 = skip the block, 1 = run (h2o side needs it), 3 = run AND the region
+    may contain some column's o2h argmin (the select/scatter passes run).
+
+    Both bounds are EXACT-by-construction triangle-inequality culls over the
+    per-frame region centroids c_fr / radii rr (ops/chamfer_cull._cull_mask's
+    machinery, extended with the o2h side):
+
+      h2o:  tile t is skippable for region r iff
+              d_t(f,r) - rr > min_t d_t(f,r) + rr + eps
+            (no row in r can find its min in t — chamfer_cull.py:19-27).
+      o2h:  region r is skippable for tile t iff for EVERY column j in t
+              d(c_fr, y_j) - rr > ub_col(j) + eps,
+              ub_col(j) = min_r' (d(c_fr', y_j) + rr_r')
+            — every pair (i in r, j) is strictly farther than a distance
+            some other region provably achieves for j, so r cannot hold any
+            column's argmin. The ub's own argmin region always passes its
+            test (d - rr <= d + rr), so every valid column keeps >= 1
+            candidate region.
+
+    Exactness never depends on the mask (a looser bound only computes more);
+    the ub/lb pass runs HIGHEST-precision centered like _cull_mask, and
+    eps = 1e-3 m absorbs its remaining rounding (see chamfer_cull.py:148-155).
+    The [L*R, P2] column field is computed per GROUP under lax.map (peak
+    ~L*R*P2 floats, not F*R*P2 — 37 MB instead of 4.7 GB at the production
+    G shape)."""
+    F, P1, _ = x.shape
+    G_, P2, _ = y.shape
+    L = y_group
+    T = _round_up(P2, tile) // tile
+    R = P1p // REGION_ROWS
+    assert R * REGION_ROWS == P1p
+
+    x = jax.lax.stop_gradient(x).astype(jnp.float32)
+    y = jax.lax.stop_gradient(y).astype(jnp.float32)
+
+    # region stats over REAL rows (pad rows carry xsq=BIG in the kernel
+    # operand and can never win a column or a row-min that callers read)
+    pad = P1p - P1
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    real = (jnp.arange(P1p) < P1).astype(jnp.float32)
+    xr = xp.reshape(F, R, REGION_ROWS, 3)
+    wr = real.reshape(R, REGION_ROWS)
+    cnt = jnp.maximum(jnp.sum(wr, axis=1), 1.0)
+    c_fr = jnp.sum(xr * wr[None, :, :, None], axis=2) / cnt[None, :, None]
+    rr = jnp.sqrt(
+        jnp.max(jnp.sum((xr - c_fr[:, :, None]) ** 2, axis=-1) * wr[None], axis=2)
+    )  # [F, R]
+
+    hi = jax.lax.Precision.HIGHEST
+    yc = jnp.mean(y, axis=1, keepdims=True)  # [G, 1, 3]
+    yctr = y - yc
+    cg = c_fr.reshape(G_, L, R, 3) - yc[:, None]  # [G, L, R, 3]
+    rr_g = rr.reshape(G_, L, R)
+    padp = T * tile - P2
+    EPS = 1e-3
+
+    def per_group(args):
+        yg, yvg, cgg, rrg = args  # [P2,3], [P2] bool, [L,R,3], [L,R]
+        cdot = jax.lax.dot_general(
+            cgg.reshape(L * R, 3), jnp.swapaxes(yg, 0, 1),
+            (((1,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32,
+        )  # [L*R, P2]
+        d2 = (
+            jnp.sum(cgg.reshape(L * R, 3) ** 2, axis=-1)[:, None]
+            - 2.0 * cdot
+            + jnp.sum(yg * yg, axis=-1)[None, :]
+        )
+        d2 = jnp.where(yvg[None, :], d2, jnp.inf)
+        d_col = jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(L, R, P2)
+        rcol = rrg[:, :, None]  # [L, R, 1]
+        # o2h: per-column candidate test, reduced to per-tile ANY
+        ub_col = jnp.min(d_col + rcol, axis=1, keepdims=True)  # [L, 1, P2]
+        need = jnp.logical_and(d_col - rcol <= ub_col + EPS, jnp.isfinite(d_col))
+        if padp:
+            need = jnp.pad(need, ((0, 0), (0, 0), (0, padp)))
+            d_col = jnp.pad(
+                d_col, ((0, 0), (0, 0), (0, padp)), constant_values=jnp.inf
+            )
+        cand = jnp.any(need.reshape(L, R, T, tile), axis=-1)  # [L, R, T]
+        # h2o: exact per-tile centroid distance bound (chamfer_cull)
+        d_tile = jnp.min(d_col.reshape(L, R, T, tile), axis=-1)
+        dmin = jnp.min(d_tile, axis=-1, keepdims=True)
+        run_h = jnp.logical_and(
+            d_tile - rcol <= dmin + rcol + EPS, jnp.isfinite(d_tile)
+        )
+        return (jnp.logical_or(run_h, cand).astype(jnp.int8)
+                + 2 * cand.astype(jnp.int8))  # [L, R, T]
+
+    if y_valid is None:
+        y_valid = jnp.ones((G_, P2), bool)
+    m = jax.lax.map(per_group, (yctr, y_valid, cg, rr_g))  # [G, L, R, T]
+    m = m.reshape(F, R, T).astype(jnp.int32)
+    if x_valid is not None:
+        m = m * x_valid.astype(jnp.int32)[:, None, None]
+    return m
+
+
+def _dist_loss_cull_kernel(
+    mask_ref, xa_ref, xn_ref, ya_ref, og_ref, hg_ref, vw_ref,
+    v_ref, dh_ref, gxdo_ref, gxdh_ref,
+    h2od_s, yat_s, gxdo_s, colmin_s, winrow_s, sel_s,
+):
+    """Region-culled fused loss pass — one (frame, y-tile) grid step.
+
+    Identical contract to _dist_loss_kernel, but the [P1p, tile] distance
+    block is split into R pl.when-gated [REGION_ROWS, tile] blocks, driven by
+    _region_cull_mask. Three gated static loops:
+
+      1. run-gated (bit0): distance block -> h2o row-min carry (h2od_s/yat_s)
+         AND o2h column-min carry (colmin_s/winrow_s — global winner row).
+      2. candidate-gated (bit1): select the winner rows' [x; n] coordinates
+         into sel_s via VPU one-hot sublane sums. EXACT f32 (one nonzero per
+         column) — the uncull kernel's HIGHEST MXU select carries ~2^-24
+         rounding, so the two kernels agree to ~1e-6 relative, not bitwise.
+      3. candidate-gated: scatter the dist_o gradient rows u back to winner
+         rows via VPU one-hot lane sums (an MXU K=tile one-hot contraction
+         MEASURED ~6x the distance block — chamfer_cull.py:226-230).
+
+    MXU work drops from 3 full-rate passes per (frame, tile) to
+    live_fraction x 1 (the select/scatter passes leave the MXU entirely);
+    the VPU work is per-live-region and pipelines under the MXU.
+
+    h2o row-mins across skipped blocks stay BIG; rows that never computed
+    (invalid frames, all-invalid clouds) emit dh = 0 and zero gradient rows
+    (the 'hdone' gate) — same caller-masks-them contract as
+    chamfer_cull.point2point_h2o_cull."""
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    tile = ya_ref.shape[2]
+    P1p = xa_ref.shape[2]
+    R = mask_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        h2od_s[0, :] = jnp.full((P1p,), BIG, jnp.float32)
+        yat_s[:, :] = jnp.zeros_like(yat_s)
+        gxdo_s[:, :] = jnp.zeros_like(gxdo_s)
+
+    # per-tile column state (reset every grid step: each y column lives in
+    # exactly one tile, so the o2h reduction completes within the step)
+    colmin_s[0, :] = jnp.full((tile,), BIG, jnp.float32)
+    winrow_s[0, :] = jnp.full((tile,), -1, jnp.int32)
+    sel_s[:, :] = jnp.zeros_like(sel_s)
+
+    ya = ya_ref[0]  # [5, tile]
+    yt = ya[0:3]
+
+    # ---- pass 1: gated distance blocks, both directions' running mins ----
+    for r in range(R):
+        rows = slice(r * REGION_ROWS, (r + 1) * REGION_ROWS)
+
+        @pl.when(mask_ref[0, r, c] != 0)
+        def _(rows=rows, r=r):
+            d = _dot(xa_ref[0][:, rows], ya, ((0,), (0,)))  # [ROWS, tile]
+            # h2o: running row-min + nearest-y coords (VPU one-hot, exact)
+            tile_min = jnp.min(d, axis=1)
+            targ = jnp.argmin(d, axis=1).astype(jnp.int32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (REGION_ROWS, tile), 1)
+            M2 = (cols == targ[:, None]).astype(jnp.float32)
+            ysel0 = jnp.sum(M2 * yt[0, :][None, :], axis=1)
+            ysel1 = jnp.sum(M2 * yt[1, :][None, :], axis=1)
+            ysel2 = jnp.sum(M2 * yt[2, :][None, :], axis=1)
+            prev = h2od_s[0, rows]
+            upd = tile_min < prev
+            h2od_s[0, rows] = jnp.where(upd, tile_min, prev)
+            yat_s[0, rows] = jnp.where(upd, ysel0, yat_s[0, rows])
+            yat_s[1, rows] = jnp.where(upd, ysel1, yat_s[1, rows])
+            yat_s[2, rows] = jnp.where(upd, ysel2, yat_s[2, rows])
+            # o2h: running column-min with the GLOBAL winner row. Strict '<'
+            # keeps the FIRST minimal row across regions — the same
+            # tie-break as the uncull kernel's full-P1p argmin (and a
+            # skipped region can never tie: its bound is strict).
+            cmin = jnp.min(d, axis=0)  # [tile]
+            carg = jnp.argmin(d, axis=0).astype(jnp.int32) + r * REGION_ROWS
+            prevc = colmin_s[0, :]
+            updc = cmin < prevc
+            colmin_s[0, :] = jnp.where(updc, cmin, prevc)
+            winrow_s[0, :] = jnp.where(updc, carg, winrow_s[0, :])
+
+    win = winrow_s[0, :]
+
+    # ---- pass 2: winner [x; n] select (candidate regions only) ----
+    for r in range(R):
+        rows = slice(r * REGION_ROWS, (r + 1) * REGION_ROWS)
+
+        @pl.when(mask_ref[0, r, c] >= 2)
+        def _(rows=rows, r=r):
+            rid = (
+                jax.lax.broadcasted_iota(jnp.int32, (REGION_ROWS, tile), 0)
+                + r * REGION_ROWS
+            )
+            Mf = (rid == win[None, :]).astype(jnp.float32)  # [ROWS, tile]
+            xnr = xn_ref[0][:, rows]  # [6, ROWS]
+            for k in range(6):
+                sel_s[k, :] += jnp.sum(Mf * xnr[k, :][:, None], axis=0)
+
+    # ---- per-column epilogue (identical math to _dist_loss_step) ----
+    o2h_d = colmin_s[0, :]
+    computed = (win >= 0).astype(jnp.float32)
+    dist = jnp.sqrt(jnp.maximum(o2h_d, 0.0))
+    valid = (ya[4, :] < BIG * 0.5).astype(jnp.float32) * computed
+    x_nn = sel_s[0:3, :]
+    n_at = sel_s[3:6, :]
+    sdot = jnp.sum(n_at * (yt - x_nn), axis=0)
+    sign = jnp.sign(sdot)
+    o2h_p = dist * sign * valid
+
+    og = og_ref[0, 0, :]
+    band = jnp.logical_and(og < 0.01, og > -0.005)
+    w = jnp.where(band, 1.0, 0.1)
+    w = jnp.where(o2h_p < 0.0, 1.5, w)
+    diff = o2h_p - og
+    v_ref[0, 0, :] = jnp.abs(diff) * w * valid
+    coef = w * jnp.sign(diff) * sign * valid / jnp.maximum(dist, 1e-12)
+    u0 = coef * (x_nn[0] - yt[0])
+    u1 = coef * (x_nn[1] - yt[1])
+    u2 = coef * (x_nn[2] - yt[2])
+
+    # ---- pass 3: dist_o gradient scatter to winner rows ----
+    for r in range(R):
+        rows = slice(r * REGION_ROWS, (r + 1) * REGION_ROWS)
+
+        @pl.when(mask_ref[0, r, c] >= 2)
+        def _(rows=rows, r=r):
+            rid = (
+                jax.lax.broadcasted_iota(jnp.int32, (REGION_ROWS, tile), 0)
+                + r * REGION_ROWS
+            )
+            Mf = (rid == win[None, :]).astype(jnp.float32)
+            gxdo_s[0, rows] += jnp.sum(Mf * u0[None, :], axis=1)
+            gxdo_s[1, rows] += jnp.sum(Mf * u1[None, :], axis=1)
+            gxdo_s[2, rows] += jnp.sum(Mf * u2[None, :], axis=1)
+
+    @pl.when(c == nc - 1)
+    def _():
+        gxdo_ref[0] = gxdo_s[:, :]
+        hdone = (h2od_s[0, :] < BIG * 0.5).astype(jnp.float32)
+        hd = jnp.sqrt(jnp.maximum(h2od_s[0, :], 0.0))
+        hg = jnp.abs(hg_ref[0, 0, :])
+        vw = vw_ref[0, 0, :]
+        dh_ref[0, 0, :] = jnp.abs(hd - hg) * vw * hdone
+        cfh = vw * jnp.sign(hd - hg) * hdone / jnp.maximum(hd, 1e-12)
+        xt = xn_ref[0][0:3]
+        gxdh_ref[0, 0, :] = cfh * (xt[0] - yat_s[0, :])
+        gxdh_ref[0, 1, :] = cfh * (xt[1] - yat_s[1, :])
+        gxdh_ref[0, 2, :] = cfh * (xt[2] - yat_s[2, :])
+
+
+def _dist_loss_forward_cull(
+    x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
+):
+    """Region-culled twin of _dist_loss_forward (same outputs/contract)."""
+    xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
+        x, y, y_valid, n, tile, y_group
+    )
+    assert fb == 1 and Fp == F
+    xn = jnp.concatenate([xa[:, 0:3, :] * -0.5, na[:, 0:3, :]], axis=1)
+    R = P1p // REGION_ROWS
+    mask = _region_cull_mask(x, y, y_valid, tile, y_group, P1p, x_valid)
+
+    og = o2h_g.astype(jnp.float32)
+    hg = h2o_g.astype(jnp.float32)
+    if P2p != P2:
+        og = jnp.pad(og, ((0, 0), (0, P2p - P2)))
+    if P1p != P1:
+        hg = jnp.pad(hg, ((0, 0), (0, P1p - P1)))
+    og = og[:, None, :]
+    hg = hg[:, None, :]
+    vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
+
+    n_tiles = P2p // tile
+    grid = (F, n_tiles)
+    _ya_spec = pl.BlockSpec(
+        (1, 5, tile),
+        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
+        memory_space=pltpu.VMEM,
+    )
+    v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
+        _dist_loss_cull_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R, n_tiles), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            _ya_spec,
+            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, P1p), jnp.float32),
+            pltpu.VMEM((3, P1p), jnp.float32),
+            pltpu.VMEM((3, P1p), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.VMEM((6, tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # cost: worst case (XLA can't see the data-dependent cull rate); the
+        # MXU floor is ~1/3 of the uncull kernel's 16*F*P1p*P2p
+        cost_estimate=_cost(6 * F * P1p * P2p, xa, xn, ya, og, hg),
+        interpret=interpret,
+    )(mask, xa, xn, ya, og, hg, vw)
+    return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
+
+
 def chamfer_dist_loss(
     x: jax.Array,  # [F, P1, 3] hand verts (canonical object frames)
     x_normals: jax.Array,  # [F, P1, 3]
@@ -331,6 +661,8 @@ def chamfer_dist_loss(
     # object slots — the caller's frame/object masks zero them anyway)
     interpret: bool = False,
     sel_impl: str = "mxu",
+    region_cull: bool = False,
+    x_perm=None,  # static [P1] int permutation (core/mano.hand_template_perm)
 ) -> tuple[jax.Array, jax.Array]:
     """Fused dist_o/dist_h loss partials: returns (do_f [F], dh_f [F]) where
 
@@ -343,31 +675,55 @@ def chamfer_dist_loss(
     a custom VJP whose backward is two per-frame-scalar multiplies against
     gradient rows computed IN the forward pass (see module docstring).
     y_group: frame f searches cloud f // y_group (shared-Y mode, as in
-    chamfer_pallas._prep_operands)."""
+    chamfer_pallas._prep_operands).
+
+    region_cull=True routes to the bounds-culled kernel
+    (_dist_loss_cull_kernel): identical math, but [REGION_ROWS, tile] blocks
+    that provably contain no row-min NOR column-argmin are skipped. Pass
+    x_perm (the spatial template sort) so the 128-row regions are compact —
+    the permutation is applied to x/n/h2o_g/vw2 here and the x gradient maps
+    back through the gather's own VJP; per-frame SUMS only reorder
+    accumulation (rtol-level effect). Values vs the uncull kernel agree to
+    ~1e-6 relative (the cull kernel's winner select is EXACT f32 VPU; the
+    uncull kernel's MXU select rounds at ~2^-24)."""
     if y is None:
         y = jnp.swapaxes(yT, 1, 2)
     if x_valid is None:
         x_valid = jnp.ones((x.shape[0],), bool)
+    if x_perm is not None:
+        import numpy as np
+
+        x_perm = np.asarray(x_perm)
+        x = x[:, x_perm]
+        x_normals = x_normals[:, x_perm]
+        h2o_g = h2o_g[:, x_perm]
+        vw2 = vw2[x_perm]
     return _dl_core(
         x, x_normals, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret,
-        y_group, sel_impl,
+        y_group, sel_impl, region_cull,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _dl_core(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl, region_cull):
     out, _ = _dl_fwd(
         x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
-        sel_impl,
+        sel_impl, region_cull,
     )
     return out
 
 
-def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl):
-    v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward(
-        x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
-        sel_impl,
-    )
+def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group, sel_impl, region_cull):
+    if region_cull:
+        v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward_cull(
+            x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret,
+            y_group,
+        )
+    else:
+        v_rows, dh_rows, gx_do, gx_dh = _dist_loss_forward(
+            x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret,
+            y_group, sel_impl,
+        )
     do_f = jnp.sum(v_rows, axis=1)
     dh_f = jnp.sum(dh_rows, axis=1)
 
@@ -388,7 +744,7 @@ def _dl_fwd(x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_gro
     return (do_f, dh_f), (gx_do, gx_dh, x.shape[1], structs)
 
 
-def _dl_bwd(tile, interpret, y_group, sel_impl, residuals, cotangents):
+def _dl_bwd(tile, interpret, y_group, sel_impl, region_cull, residuals, cotangents):
     import numpy as np
 
     gx_do, gx_dh, p1, (n_s, y_s, valid_s, og_s, hg_s, vw_s, xv_s) = residuals

@@ -226,6 +226,156 @@ def test_fused_degenerate_padded_slot_is_zero_and_finite():
     np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
+def _separated_scene(rng, F, P1, P2, G_clouds):
+    """Elongated hand-like x (rows SPATIALLY SORTED, so 128-row regions are
+    compact and distinct — the template-perm layout contract) + cloud with a
+    near half and a FAR half (the grasp + far-object mix): the h2o bound
+    must cull the far tiles and the o2h bound must cull regions far from
+    each near tile while keeping >= 1 candidate per valid column."""
+    x0 = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, P1),
+            rng.normal(size=P1) * 0.012,
+            rng.normal(size=P1) * 0.012,
+        ],
+        axis=1,
+    )  # finger-like rod, uniform along its axis
+    x0 = x0[np.argsort(x0[:, 0])]  # spatial sort -> compact row regions
+    x = jnp.asarray(
+        x0[None] + rng.normal(size=(F, P1, 3)) * 0.002, jnp.float32
+    )
+    n = rng.normal(size=(F, P1, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    y_near = rng.normal(size=(G_clouds, P2 // 2, 3)) * 0.02 + np.array(
+        [0.26, 0.0, 0.0]
+    )  # grasped object off the "fingertip" end
+    y_far = rng.normal(size=(G_clouds, P2 // 2, 3)) * 0.03 + np.array(
+        [0.6, 0.0, 0.0]
+    )
+    y = jnp.asarray(np.concatenate([y_near, y_far], axis=1), jnp.float32)
+    return x, jnp.asarray(n, jnp.float32), y
+
+
+@pytest.mark.parametrize(
+    "F,P1,P2,y_group,tile,use_valid",
+    [
+        (4, 13, 300, 1, 512, False),   # single tile, x-lane padding
+        (8, 13, 1100, 4, 512, False),  # multi-tile carry + shared-Y
+        (4, 150, 1024, 2, 256, True),  # multi-region + y_valid
+    ],
+)
+def test_region_cull_matches_fused(F, P1, P2, y_group, tile, use_valid):
+    """region_cull=True must reproduce the plain fused kernel: h2o side
+    bit-identical, o2h side to ~1e-6 rel (the cull kernel's winner select is
+    exact f32 VPU vs the uncull kernel's ~2^-24 MXU select)."""
+    rng = np.random.default_rng(11)
+    x, n, y = _make_scene(rng, F, P1, P2, G_clouds=F // y_group)
+    y_valid = (
+        jnp.asarray(rng.random((F // y_group, P2)) > 0.3) if use_valid else None
+    )
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, y_valid, y_group)
+
+    kw = dict(
+        o2h_g=o2h_g, h2o_g=h2o_g, vw2=vw2, y_valid=y_valid, y_group=y_group,
+        tile=tile, interpret=True,
+    )
+    do0, dh0 = CL.chamfer_dist_loss(x, n, y, **kw)
+    do1, dh1 = CL.chamfer_dist_loss(x, n, y, **kw, region_cull=True)
+    np.testing.assert_allclose(np.asarray(do1), np.asarray(do0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh0), rtol=1e-6)
+
+    a = jnp.asarray(rng.normal(size=F), jnp.float32)
+    b = jnp.asarray(rng.normal(size=F), jnp.float32)
+
+    def loss(xx, rc):
+        do, dh = CL.chamfer_dist_loss(xx, n, y, **kw, region_cull=rc)
+        return jnp.sum(a * do) + jnp.sum(b * dh)
+
+    g0 = jax.grad(lambda xx: loss(xx, False))(x)
+    g1 = jax.grad(lambda xx: loss(xx, True))(x)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_region_cull_actually_culls_and_stays_exact():
+    """On the separated grasp+far scene the mask must SKIP blocks (else the
+    parity tests above are vacuous) while values still match the uncull
+    kernel; x_valid frames and the x_perm plumbing ride along."""
+    rng = np.random.default_rng(12)
+    F, P1, P2, L, tile = 8, 500, 1024, 4, 256
+    G_ = F // L
+    x, n, y = _separated_scene(rng, F, P1, P2, G_)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+    o2h_g, h2o_g = _gt_fields(rng, x, n, y, None, L)
+    xv = jnp.asarray(np.array([1, 1, 0, 1, 1, 0, 1, 1], bool))
+    perm = np.asarray(rng.permutation(P1))
+
+    P1p = 512
+    m = np.asarray(CL._region_cull_mask(x, y, None, tile, L, P1p, xv))
+    assert m.shape == (F, 4, 4)
+    # invalid frames all-zero; the "palm-end" region 0 (far from both
+    # objects) must lose its o2h candidacy everywhere AND be fully culled
+    # for the far tiles (2, 3); every valid column keeps >= 1 candidate
+    assert (m[2] == 0).all() and (m[5] == 0).all()
+    valid_f = np.array([0, 1, 3, 4, 6, 7])
+    assert (m[valid_f][:, 0, :] < 2).all(), "region 0 should never be an o2h candidate"
+    assert (m[valid_f][:, 0, 2:] == 0).all(), "region 0 far tiles should cull"
+    run_frac = (m != 0).mean()
+    assert run_frac <= 0.6, f"too few blocks culled (run_frac={run_frac})"
+    assert (m[valid_f] >= 2).any(axis=1).all(), "every tile needs a candidate"
+
+    kw = dict(
+        o2h_g=o2h_g, h2o_g=h2o_g, vw2=vw2, y_group=L, tile=tile,
+        x_valid=xv, interpret=True,
+    )
+    do0, dh0 = CL.chamfer_dist_loss(x, n, y, **kw)
+    do1, dh1 = CL.chamfer_dist_loss(x, n, y, **kw, region_cull=True)
+    np.testing.assert_allclose(np.asarray(do1), np.asarray(do0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh0), rtol=1e-6)
+
+    # permuted run: sums invariant at rtol, gradient maps back through the
+    # gather (compare against the unpermuted culled run)
+    do2, dh2 = CL.chamfer_dist_loss(
+        x, n, y, **kw, region_cull=True, x_perm=perm
+    )
+    np.testing.assert_allclose(np.asarray(do2), np.asarray(do1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dh2), np.asarray(dh1), rtol=1e-4)
+
+    a = jnp.asarray(rng.normal(size=F), jnp.float32)
+    b = jnp.asarray(rng.normal(size=F), jnp.float32)
+
+    def loss(xx, **k):
+        do, dh = CL.chamfer_dist_loss(xx, n, y, **kw, **k)
+        return jnp.sum(a * do) + jnp.sum(b * dh)
+
+    g1 = jax.grad(lambda xx: loss(xx, region_cull=True))(x)
+    g2 = jax.grad(lambda xx: loss(xx, region_cull=True, x_perm=perm))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-6)
+
+
+def test_region_cull_degenerate_padded_slot_is_zero_and_finite():
+    """The all-zero collate-padding geometry through the CULL route: zero
+    sums, finite zero gradients (mirrors the uncull degenerate test)."""
+    F, P1, P2 = 2, 13, 256
+    x = jnp.zeros((F, P1, 3), jnp.float32)
+    n = jnp.zeros((F, P1, 3), jnp.float32)
+    y = jnp.zeros((F, P2, 3), jnp.float32)
+
+    def loss(xx):
+        do_f, dh_f = CL.chamfer_dist_loss(
+            xx, n, y, o2h_g=jnp.zeros((F, P2)), h2o_g=jnp.zeros((F, P1)),
+            vw2=jnp.ones((P1,)), tile=256, interpret=True, region_cull=True,
+        )
+        return jnp.sum(do_f) + jnp.sum(dh_f)
+
+    v, g = jax.value_and_grad(loss)(x)
+    assert float(v) == 0.0
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
 def test_chamfer_dist_loss_x_valid_skips_frames():
     """x_valid=False frames emit exactly zero sums and zero gradients; valid
     frames are bit-identical to the unmasked run."""
