@@ -106,6 +106,119 @@ def _prev_round_value() -> float | None:
         return None
 
 
+def _kernel_selfcheck():
+    """On-device chamfer-kernel exactness check, run at bench time on the
+    real TPU (round-4 lesson, commit d94c742: a BlockSpec that PASSED Pallas
+    interpret mode failed Mosaic lowering on hardware — interpret-mode test
+    coverage cannot certify the compiled kernels; the reference's CUDA
+    chamfer is implicitly exercised on-device every step).
+
+    One small mixed scene — grasp cloud + far 70%-valid cloud, padded x
+    lanes (P1=778 -> 7 regions), mask-skipped frames — checks:
+      1. bounds-culled h2o kernel vs the all-pairs kernel: BIT-equal on
+         valid frames (ops/chamfer_cull's exactness contract),
+      2. fused dist-loss kernel (values + grads) vs the composed XLA
+         formulation at the documented parity rtol,
+      3. region-culled fused kernel vs the plain fused kernel (~1e-5: its
+         winner select is exact f32 vs the MXU select's 2^-24 rounding).
+    Returns "ok" or raises AssertionError with the failing check."""
+    import jax
+    import jax.numpy as jnp
+
+    from oakink2_tamf_tpu.core import geometry as G
+    from oakink2_tamf_tpu.ops import chamfer_loss as CL
+    from oakink2_tamf_tpu.ops.chamfer_cull import point2point_h2o_cull
+    from oakink2_tamf_tpu.ops.chamfer_pallas import point2point_h2o_pallas
+
+    rng = np.random.default_rng(42)
+    F, P1, P2, Lg, tile = 8, 778, 4096, 4, 2048
+    G_ = F // Lg
+    x = jnp.asarray(rng.normal(size=(F, P1, 3)) * 0.05, jnp.float32)
+    n = rng.normal(size=(F, P1, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.asarray(n, jnp.float32)
+    y_np = rng.normal(size=(G_, P2, 3)) * 0.04
+    y_np[1] += 0.5  # second cloud far (exercises the triangle-inequality cull)
+    y = jnp.asarray(y_np, jnp.float32)
+    yv_np = np.ones((G_, P2), bool)
+    yv_np[1, rng.random(P2) < 0.3] = False  # partial validity
+    y_valid = jnp.asarray(yv_np)
+    xv_np = np.ones(F, bool)
+    xv_np[2] = xv_np[5] = False  # frame-skip path exercised
+    xv = jnp.asarray(xv_np)
+    vw2 = jnp.asarray(rng.random(P1), jnp.float32)
+
+    # 1. culled h2o vs all-pairs: bit-equal for valid frames
+    d_ref = jax.jit(
+        lambda xx: jnp.sqrt(jnp.maximum(
+            point2point_h2o_pallas(xx, y, y_valid=y_valid, y_group=Lg)[0], 0.0))
+    )(x)
+    d_cull = jax.jit(
+        lambda xx: point2point_h2o_cull(
+            xx, y, y_valid=y_valid, y_group=Lg, x_valid=xv, tile=tile)
+    )(x)
+    ok = np.asarray(d_cull)[xv_np] == np.asarray(d_ref)[xv_np]
+    assert ok.all(), (
+        f"cull-vs-allpairs h2o mismatch: {(~ok).sum()} of {ok.size} values "
+        f"differ (max {np.abs(np.asarray(d_cull)[xv_np] - np.asarray(d_ref)[xv_np]).max()})"
+    )
+
+    # composed-path oracle sums (the models/losses.py dist math, XLA backend)
+    yy = jnp.repeat(y, Lg, axis=0)
+    yvv = jnp.repeat(y_valid, Lg, axis=0)
+    o2h_g, h2o_g, _ = G.point2point_signed(
+        x + 0.01, yy, x_normals=n, y_valid=yvv, backend="xla", grad_y=False
+    )
+    o2h_g = jax.lax.stop_gradient(o2h_g)
+    h2o_g = jax.lax.stop_gradient(h2o_g)
+
+    def composed_sums(xx):
+        o2h, h2o, _ = G.point2point_signed(
+            xx, yy, x_normals=n, y_valid=yvv, backend="xla", grad_y=False
+        )
+        band = (o2h_g < 0.01) & (o2h_g > -0.005)
+        w = jnp.where(band, 1.0, 0.1)
+        w = jnp.where(o2h < 0.0, 1.5, w)
+        do_f = jnp.sum(jnp.abs(o2h - o2h_g) * w, axis=1)
+        dh_f = jnp.sum(
+            jnp.abs(jnp.abs(h2o) - jnp.abs(h2o_g)) * vw2[None, :], axis=1
+        )
+        return do_f * xv, dh_f * xv
+
+    a = jnp.asarray(rng.normal(size=F), jnp.float32)
+    b = jnp.asarray(rng.normal(size=F), jnp.float32)
+
+    def fused_sums(xx, **kw):
+        return CL.chamfer_dist_loss(
+            xx, n, y, o2h_g=o2h_g, h2o_g=h2o_g, vw2=vw2, y_valid=y_valid,
+            y_group=Lg, tile=tile, x_valid=xv, **kw,
+        )
+
+    def run(f):
+        def scal(xx):
+            do_f, dh_f = f(xx)
+            return jnp.sum(a * do_f) + jnp.sum(b * dh_f), (do_f, dh_f)
+
+        (v, (do_f, dh_f)), g = jax.jit(
+            jax.value_and_grad(scal, has_aux=True))(x)
+        return np.asarray(do_f), np.asarray(dh_f), np.asarray(g)
+
+    do_c, dh_c, g_c = run(composed_sums)
+    do_f, dh_f, g_f = run(fused_sums)
+
+    # 2. fused vs composed at the documented parity rtol (test_chamfer_loss)
+    np.testing.assert_allclose(do_f, do_c, rtol=2e-4, err_msg="fused do_f")
+    np.testing.assert_allclose(dh_f, dh_c, rtol=2e-4, err_msg="fused dh_f")
+    np.testing.assert_allclose(g_f, g_c, rtol=2e-3, atol=1e-4, err_msg="fused grad")
+
+    # 3. region-culled fused vs plain fused
+    do_r, dh_r, g_r = run(lambda xx: fused_sums(xx, region_cull=True))
+    np.testing.assert_allclose(do_r, do_f, rtol=1e-5, err_msg="region-cull do_f")
+    np.testing.assert_allclose(dh_r, dh_f, rtol=1e-6, err_msg="region-cull dh_f")
+    np.testing.assert_allclose(g_r, g_f, rtol=1e-4, atol=1e-6, err_msg="region-cull grad")
+    return "ok"
+
+
 def _timeit(fn, n_rep=3):
     """Best-of-n wall time; a scalar value fetch closes each rep (the TPU
     tunnel was observed to return early from block_until_ready with queued
@@ -179,6 +292,27 @@ def main():
     n_dev = len(devices)
     peak = _peak_flops(devices[0])
     extra: dict = {"n_devices": n_dev, "device_kind": getattr(devices[0], "device_kind", "?")}
+
+    # on-device kernel exactness gate (BENCH_SELFCHECK=0 skips): runs FIRST
+    # so a Mosaic lowering/value regression fails the bench loudly instead of
+    # surfacing as a crashed or silently-wrong train row later
+    if devices[0].platform == "tpu" and os.environ.get("BENCH_SELFCHECK", "1") != "0":
+        t0 = time.perf_counter()
+        try:
+            extra["kernel_selfcheck"] = _kernel_selfcheck()
+            print(f"# kernel selfcheck: ok ({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr)
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            extra["kernel_selfcheck"] = f"FAILED: {msg[:500]}"
+            print(json.dumps({
+                "metric": "reverse_diffusion_samples_per_sec_per_chip_arch_mdm_l",
+                "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
+                "extra": extra,
+            }), flush=True)
+            print(f"# KERNEL SELFCHECK FAILED — aborting bench\n# {msg}",
+                  file=sys.stderr)
+            sys.exit(1)
 
     mesh = None
     if n_dev > 1:
@@ -473,7 +607,7 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
     g_model = InteractionSegmentMDM(MDMConfig.arch_mdm_l())
     sched = D.tamf_schedule(1000)
 
-    def measure(name, step_exe, state, sbatch, bs, P, n_rep=3):
+    def measure(name, step_exe, state, sbatch, bs, P, batch, n_rep=3):
         state, _ = step_exe(state, sbatch, jax.random.PRNGKey(0))  # warm
         jax.tree.leaves(state.params)[0].block_until_ready()
         times = []
@@ -486,8 +620,22 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
         sps = bs / dt / max(n_dev, 1)
         extra[f"{name}_samples_per_sec_per_chip"] = round(sps, 2)
         extra[f"{name}_step_ms"] = round(dt * 1e3, 1)
-        extra[f"{name}_shape"] = {"batch": bs, "seq_len": L, "nobj": nobj,
-                                  "n_obj_points": P, "chunk": chunk}
+        # valid fractions: the frame-skip kernels make step time a direct
+        # function of the batch's mask statistics (round-4 verdict: without
+        # these the headline step times aren't interpretable across rounds).
+        # data/synthetic.py draws lengths uniform[16, L] and nobj uniform
+        # {1..max_nobj} under a fixed seed; real-data statistics differ.
+        fm = np.asarray(batch["mask"]) > 0  # [bs, L]
+        om = np.asarray(batch["obj_mask"]).astype(bool)  # [bs, nobj]
+        extra[f"{name}_shape"] = {
+            "batch": bs, "seq_len": L, "nobj": nobj,
+            "n_obj_points": P, "chunk": chunk,
+            "valid_frac_frames": round(float(fm.mean()), 3),
+            "valid_frac_slots": round(float(om.mean()), 3),
+            "valid_frac_frame_objects": round(
+                float((fm[:, None, :] & om[:, :, None]).mean()), 3
+            ),
+        }
         print(f"# {name} (bs{bs} {nobj}x{P}): {dt*1e3:.0f} ms/step, "
               f"{sps:.2f} samples/s/chip", file=sys.stderr)
         return state, dt
@@ -528,7 +676,7 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
         )
         sbatch = maybe_shard(batch)
         exe_g = step_g.lower(state, sbatch, jax.random.PRNGKey(0)).compile()
-        state, g_dt = measure(f"train_g{tag}", exe_g, state, sbatch, bs, P)
+        state, g_dt = measure(f"train_g{tag}", exe_g, state, sbatch, bs, P, batch)
         extra[f"train_g{tag}_shape"]["gt_cache"] = gt_cache
         emit()
         del state, step_g, exe_g
@@ -551,7 +699,7 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
         step_r = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=chunk, mesh=mesh)
         sbatch_r = maybe_shard(rbatch)
         exe_r = step_r.lower(state, sbatch_r, jax.random.PRNGKey(0)).compile()
-        measure(f"train_r{tag}", exe_r, state, sbatch_r, bs, P)
+        measure(f"train_r{tag}", exe_r, state, sbatch_r, bs, P, rbatch)
         emit()
         return batch, cond, g_dt
 
@@ -668,20 +816,46 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
     )(verts, normals, transf, obj_points)
 
     # explicit args only (see mano_probe note): o2h_g alone is 671 MB at the
-    # production shape — closing over it 413s the tunnel compile
-    def pred_probe(v, n, tf, pts, og, hg, vw):
+    # production shape — closing over it 413s the tunnel compile.
+    # The batch's seq/obj masks ride along: the real step frame-skips
+    # mask-padded frames and padded object slots (x_valid in the fused
+    # kernel), so a maskless probe overstates the chamfer pass by ~2.5x and
+    # made round 4's budget incoherent (other_ms: -1626).
+    def pred_probe(v, n, tf, pts, og, hg, vw, fm, om):
         def f(vv):
-            do_f, dh_f = LL._dist_sums_fused(vv, n, tf, pts, og, hg, vw, chunk)
+            do_f, dh_f = LL._dist_sums_fused(
+                vv, n, tf, pts, og, hg, vw, chunk, seq_mask=fm, obj_mask=om
+            )
             return jnp.sum(do_f) + jnp.sum(dh_f)
         return jnp.sum(jax.grad(f)(v))
 
-    pred_args = (verts, normals, transf, obj_points, o2h_g, h2o_g, vw2)
+    seq_mask = jnp.asarray(batch["mask"])
+    obj_mask = jnp.asarray(batch["obj_mask"])
+    pred_args = (verts, normals, transf, obj_points, o2h_g, h2o_g, vw2,
+                 seq_mask, obj_mask)
     exe = jax.jit(pred_probe).lower(*pred_args).compile()
     pred_chamfer_dt = timeit(lambda: exe(*pred_args))
+    del exe
+    # the all-valid (maskless) variant: NOT a step component — kept for
+    # cross-round comparability with the pre-frame-skip kernels
+    # (BENCH_BUDGET_ALLVALID=0 skips its extra compile)
+    allvalid_dt = None
+    if os.environ.get("BENCH_BUDGET_ALLVALID", "1") != "0":
+        def pred_probe_av(v, n, tf, pts, og, hg, vw):
+            def f(vv):
+                do_f, dh_f = LL._dist_sums_fused(
+                    vv, n, tf, pts, og, hg, vw, chunk
+                )
+                return jnp.sum(do_f) + jnp.sum(dh_f)
+            return jnp.sum(jax.grad(f)(v))
+
+        av_args = (verts, normals, transf, obj_points, o2h_g, h2o_g, vw2)
+        exe = jax.jit(pred_probe_av).lower(*av_args).compile()
+        allvalid_dt = timeit(lambda: exe(*av_args))
+        del exe
     # with the GT-geometry cache (production default) the step never runs
     # the GT fwd — only the pred fused pass counts against the step time
     chamfer_dt = pred_chamfer_dt + (0.0 if gt_cache else gt_chamfer_dt)
-    del exe
 
     budget = {
         "step_ms": round(g_step_dt * 1e3, 1),
@@ -692,6 +866,8 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
         "chamfer_pred_fused_ms": round(pred_chamfer_dt * 1e3, 1),
         "other_ms": round((g_step_dt - trunk_dt - mano_dt - chamfer_dt) * 1e3, 1),
     }
+    if allvalid_dt is not None:
+        budget["chamfer_pred_fused_allvalid_ms"] = round(allvalid_dt * 1e3, 1)
     extra["train_g_prod_budget"] = budget
     print(f"# train_g_prod budget: {budget}", file=sys.stderr)
     emit()
