@@ -384,6 +384,9 @@ class FrozenClipText:
                     "the checkpoint, or pass allow_hash_tokenizer=True (tests only). "
                     f"(searched: explicit, env, checkpoint dir, asset/clip/, ~/.cache/clip/)"
                 )
+            from ..utils.integrity import verify_pinned
+
+            verify_pinned(checkpoint_path, what="CLIP checkpoint")
             self.variables = load_openai_clip_text_params(checkpoint_path)
             self.pretrained = True
         else:

@@ -118,15 +118,31 @@ def _warn_unpinned(path: str, what: str, why: str) -> None:
 
 
 def record_pin(path: str, pin_file: str) -> None:
-    """Append/update the pin for `path` in `pin_file` (fetch-script helper)."""
+    """Append/update the pin for `path` in `pin_file` (fetch-script helper).
+
+    Refuses to CHANGE a committed pin (delete the stale line first if the
+    upstream file legitimately changed); preserves the file's comment
+    header."""
     rel = os.path.relpath(os.path.abspath(path), os.path.dirname(os.path.abspath(pin_file)))
     rel = rel.replace(os.sep, "/")
     digest = sha256_file(path)
     pins = load_pins(pin_file) if os.path.isfile(pin_file) else {}
+    if rel in pins and pins[rel] != digest:
+        raise ValueError(
+            f"refusing to overwrite the existing pin for {rel} "
+            f"({pins[rel]} -> {digest}): if the upstream asset legitimately "
+            f"changed, delete its line from {pin_file} first."
+        )
     pins[rel] = digest
+    header = ["# sha256 integrity pins - verify with: (cd asset && sha256sum -c SHA256SUMS)\n"]
+    if os.path.isfile(pin_file):
+        with open(pin_file) as f:
+            existing = [ln for ln in f if ln.startswith("#")]
+        if existing:
+            header = existing
     tmp = pin_file + f".{os.getpid()}.tmp"
     with open(tmp, "w") as f:
-        f.write("# sha256 integrity pins - verify with: (cd asset && sha256sum -c SHA256SUMS)\n")
+        f.writelines(header)
         for r in sorted(pins):
             f.write(f"{pins[r]}  {r}\n")
     os.replace(tmp, pin_file)

