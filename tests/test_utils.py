@@ -117,3 +117,47 @@ def test_extract_refined_sample():
     )
     assert out.shape == (2, 16, 99)
     assert np.all(np.isfinite(out))
+
+
+def test_design_bench_table_markers_and_renderer():
+    """docs/DESIGN.md's measured table is GENERATED from the newest BENCH
+    artifact (scripts/update_design_tables.py) — hand-copied numbers drifted
+    in rounds 3 and 4. The block markers must exist and the renderer must
+    produce a table from a synthetic artifact record."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "docs", "DESIGN.md")) as f:
+        doc = f.read()
+    spec = importlib.util.spec_from_file_location(
+        "update_design_tables",
+        os.path.join(here, "scripts", "update_design_tables.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.BEGIN in doc and mod.END in doc
+
+    rec = {
+        "parsed": {
+            "value": 17.0, "vs_baseline": 30.0,
+            "extra": {
+                "sampling_mfu": 0.775,
+                "train_g_prod_step_ms": 1500.0,
+                "train_g_prod_samples_per_sec_per_chip": 42.7,
+                "train_g_prod_shape": {
+                    "batch": 64, "nobj": 2, "n_obj_points": 8192,
+                    "valid_frac_frame_objects": 0.41,
+                },
+                "train_g_prod_budget": {
+                    "step_ms": 1500.0, "trunk_opt_ms": 80.0, "mano_ms": 150.0,
+                    "chamfer_ms": 1100.0, "other_ms": 170.0,
+                },
+                "kernel_selfcheck": "ok",
+            },
+        }
+    }
+    block = mod.render(5, rec)
+    assert "train_g_prod" in block and "1.50 s" in block and "42.7" in block
+    assert "41% slots valid" in block
+    assert "kernel selfcheck: ok" in block
+    assert block.startswith(mod.BEGIN) and block.endswith(mod.END)
