@@ -117,10 +117,12 @@ def _kernel_selfcheck():
     lanes (P1=778 -> 7 regions), mask-skipped frames — checks:
       1. bounds-culled h2o kernel vs the all-pairs kernel: BIT-equal on
          valid frames (ops/chamfer_cull's exactness contract),
-      2. fused dist-loss kernel (values + grads) vs the composed XLA
-         formulation at the documented parity rtol,
-      3. region-culled fused kernel vs the plain fused kernel (~1e-5: its
-         winner select is exact f32 vs the MXU select's 2^-24 rounding).
+      2. fused dist-loss kernel AT THE PRODUCTION DEFAULT (sel_impl="mxu2",
+         the 2-pass bf16 one-hot split) — values + grads vs the composed
+         XLA formulation at the documented parity rtol,
+      3. region-culled fused kernel vs the plain fused kernel, both at the
+         sel_impl="mxu" HIGHEST oracle (~1e-5: the cull kernel's winner
+         select is exact f32 vs the MXU select's 2^-24 rounding).
     Returns "ok" or raises AssertionError with the failing check."""
     import jax
     import jax.numpy as jnp
@@ -149,9 +151,10 @@ def _kernel_selfcheck():
     vw2 = jnp.asarray(rng.random(P1), jnp.float32)
 
     # 1. culled h2o vs all-pairs: bit-equal for valid frames
+    # (point2point_h2o_pallas already returns sqrt'd distances [F, P1])
     d_ref = jax.jit(
-        lambda xx: jnp.sqrt(jnp.maximum(
-            point2point_h2o_pallas(xx, y, y_valid=y_valid, y_group=Lg)[0], 0.0))
+        lambda xx: point2point_h2o_pallas(
+            xx, y, y_valid=y_valid, y_group=Lg, grad_y=False)
     )(x)
     d_cull = jax.jit(
         lambda xx: point2point_h2o_cull(
@@ -206,13 +209,22 @@ def _kernel_selfcheck():
     do_c, dh_c, g_c = run(composed_sums)
     do_f, dh_f, g_f = run(fused_sums)
 
-    # 2. fused vs composed at the documented parity rtol (test_chamfer_loss)
+    # 2. fused (production default mxu2) vs composed at the documented
+    # parity rtol (test_chamfer_loss); grad atol 2e-3 absorbs the split
+    # select's ~2^-17 rounding accumulated over a vertex's columns
+    # (measured 1.2e-3 max abs on this scene vs gradient scale ~3)
     np.testing.assert_allclose(do_f, do_c, rtol=2e-4, err_msg="fused do_f")
     np.testing.assert_allclose(dh_f, dh_c, rtol=2e-4, err_msg="fused dh_f")
-    np.testing.assert_allclose(g_f, g_c, rtol=2e-3, atol=1e-4, err_msg="fused grad")
+    np.testing.assert_allclose(g_f, g_c, rtol=2e-3, atol=2e-3, err_msg="fused grad")
 
-    # 3. region-culled fused vs plain fused
-    do_r, dh_r, g_r = run(lambda xx: fused_sums(xx, region_cull=True))
+    # 3. region-culled fused vs plain fused — BOTH at sel_impl="mxu" (the
+    # HIGHEST oracle): the cull kernel's select is exact f32, while the
+    # production default mxu2 rounds at ~2^-17 (checked against composed
+    # above at the parity rtol)
+    do_f, dh_f, g_f = run(lambda xx: fused_sums(xx, sel_impl="mxu"))
+    do_r, dh_r, g_r = run(
+        lambda xx: fused_sums(xx, region_cull=True, sel_impl="mxu")
+    )
     np.testing.assert_allclose(do_r, do_f, rtol=1e-5, err_msg="region-cull do_f")
     np.testing.assert_allclose(dh_r, dh_f, rtol=1e-6, err_msg="region-cull dh_f")
     np.testing.assert_allclose(g_r, g_f, rtol=1e-4, atol=1e-6, err_msg="region-cull grad")

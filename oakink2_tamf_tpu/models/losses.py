@@ -188,6 +188,8 @@ def _dist_sums_fused(
     seq_mask: jax.Array | None = None,  # [bs, L] frame mask
     obj_mask: jax.Array | None = None,  # [bs, nobj] bool
     interpret: bool = False,
+    region_cull: bool = False,
+    x_perm=None,  # static [778] template perm (core/mano.hand_template_perm)
 ):
     """Fused dist_o/dist_h per-frame SUMS via ops/chamfer_loss: the predicted
     signed field never materializes and its gradient is computed in the same
@@ -223,7 +225,7 @@ def _dist_sums_fused(
         x, n, yT=yT,
         o2h_g=o2h_g.reshape(-1, P), h2o_g=h2o_g.reshape(-1, vh), vw2=vw2,
         y_group=L, tile=G._clamp_tile(chunk, P), x_valid=x_valid,
-        interpret=interpret,
+        interpret=interpret, region_cull=region_cull, x_perm=x_perm,
     )
     return do_f.reshape(bs, nobj, L), dh_f.reshape(bs, nobj, L)
 
@@ -341,7 +343,10 @@ def interaction_segment_extra_loss(
         num_obj = jnp.maximum(jnp.sum(obj_mask, axis=1), 1.0)  # [bs]
         om = obj_mask / num_obj[:, None]  # 1/num_obj weights, 0 for pads
 
-        use_fused = dist_impl == "fused" or (dist_impl == "auto" and G._on_tpu())
+        use_cull = dist_impl == "fused_cull"
+        use_fused = use_cull or dist_impl == "fused" or (
+            dist_impl == "auto" and G._on_tpu()
+        )
         if use_fused:
             P = batch["obj_points"].shape[2]
             do_f, dh_f = _dist_sums_fused(
@@ -349,6 +354,8 @@ def interaction_segment_extra_loss(
                 o2h_g, h2o_g, assets.v_weights2, chunk,
                 seq_mask=mask, obj_mask=batch["obj_mask"],
                 interpret=interpret,
+                region_cull=use_cull,
+                x_perm=M.hand_template_perm(mano_stack) if use_cull else None,
             )
             vh = verts_pred.shape[2]
             m3 = mask[:, None, :]  # [bs, 1, L]

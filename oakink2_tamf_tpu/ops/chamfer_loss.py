@@ -1,5 +1,17 @@
 """Fused distance-LOSS Pallas kernel for G's geometric extra losses.
 
+STATUS: LIVE — the default G dist-loss route on TPU (models/losses dist_impl
+"auto"), via the plain kernel with sel_impl="mxu2" (2-pass bf16 one-hot
+split select/gradient: 977 vs 1320 ms for the masked production pred pass,
+v5e 2026-08-21; "mxu" remains the all-HIGHEST oracle). The region_cull=True
+variant and the non-default sel_impl values ("vpu"/"vpu_g") are EXPERIMENTAL:
+measured on v5e at the production G shape (bs=64 L=160 nobj=2 P=8192,
+2026-08-21), region_cull is a wash — 1331 vs 1323 ms masked, 2875 vs 2945 ms
+all-valid — because 2048-column y tiles are unions of 16 compact 128-point
+sort leaves and span most of the object cloud, so the per-tile ANY over
+columns almost never discharges a region (measured candidate fraction 0.9999
+at that shape). A finer-grained cull needs per-leaf masks, not a bigger eps.
+
 The G train step's chamfer cost (reference extra_loss.py:146-178) is the
 signed bidirectional pass over [F=bs*nobj*L, 778] hand verts x [P2=8192]
 object points. Round-3 measured the composed pipeline (ops/chamfer_pallas
@@ -29,12 +41,19 @@ running min + the nearest-y COORDINATES selected by a VPU one-hot (so the
 composed backward's y_at one-hot matmul is gone entirely). 3 full-rate MXU
 passes replace 5, the backward kernel and its operand re-streaming vanish,
 and the custom VJP is two per-frame-scalar multiplies against the stored
-gx arrays.
+gx arrays. In SYSTOLIC passes (what the MXU actually bills): pass 1 runs at
+HIGHEST (6 bf16 subpasses — the cancellation-limited distance expansion
+needs 2^-24, see chamfer_pallas._dot), while passes 2-3 contract against a
+one-hot that is EXACT in bf16, so the default sel_impl="mxu2" runs each as
+2 single-pass bf16 products (_dot_onehot_split): 10 subpasses per block
+instead of 18, measured 977 vs 1320 ms on the masked production pred pass.
 
 Semantics are bit-compatible with the composed path in models/losses.py
 (same augmented-matmul distances, same first-min argmin ties, same
 sign/weight rules, same eps guards); summation ORDER differs (in-kernel
-per-tile sums vs XLA means), so tests compare at rtol.
+per-tile sums vs XLA means) and the mxu2 select rounds at ~2^-17 (sign
+flips only on knife-edge ties the reference's own f32 CUDA also has), so
+tests compare at rtol.
 
 Gradient convention (torch parity, as in ops/chamfer_pallas): nearest-
 neighbor indices, sign(), and the weight selections are treated as
@@ -61,16 +80,42 @@ REGION_ROWS = 128
 def _dot_high(a, b, dims):
     """MXU matmul at HIGH precision (3 bf16 passes, ~2^-16 relative).
 
-    Used only for the one-hot SELECT (pass 2) and gradient CONTRACTION
-    (pass 3) — never the distance pass. Both tolerate 2^-16: the select
-    rounds centered coordinates/normals (|.| ~ 0.05 m -> ~1e-6 m error,
-    vs ~5e-3 m near-contact sign numerators), and the gradient rows feed
-    an optimizer step (parity tests still pass at their rtol)."""
+    INTERPRET-ONLY: Mosaic's Pallas dot lowering rejects Precision.HIGH
+    outright ("Unsupported dot precision: HIGH", lowering.py dot_general
+    rule — found 2026-08-21 when the mxu_high variant, green under
+    interpret-mode tests, refused to compile on v5e). Hardware call sites
+    use _dot_onehot_split below instead."""
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
         precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     )
+
+
+def _dot_onehot_split(a, m, dims):
+    """2-single-pass MXU contraction of f32 `a` against a ONE-HOT matrix.
+
+    0.0/1.0 are exact in bf16, so only `a`'s rounding matters: split
+    a = hi + lo with hi = f32(bf16(a)) (exact round-trip) and lo rounded to
+    bf16 (|lo| <= 2^-9|a|, its own rounding <= 2^-8|lo|) — the two DEFAULT-
+    precision (single systolic pass) products reconstruct a@m to ~2^-17
+    relative in the f32 accumulator. vs _dot's HIGHEST (6 passes): 3x fewer
+    MXU passes at 2^-17 instead of 2^-24 — ample for both users (see the
+    sel/gpart call sites: coordinate selects ~0.05 m -> ~4e-7 m, gradient
+    rows feeding an optimizer step at parity rtol 2e-3).
+
+    ONLY sound when one operand is exactly representable in bf16 (here: the
+    argmin one-hot). A general matmul needs the cross term lo@m_lo this
+    split drops."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    kw = dict(
+        dimension_numbers=(dims, ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.dot_general(hi, mb, **kw) + jax.lax.dot_general(lo, mb, **kw)
 
 
 def _dist_loss_kernel(
@@ -170,7 +215,13 @@ def _dist_loss_step(
         )  # [6, tile]
     elif sel_impl == "mxu":
         sel = _dot(xn, Mf, ((1,), (0,)))  # [6, tile]
-    else:  # "mxu_high" / "vpu_g": HIGH-precision select (see _dot_high)
+    elif sel_impl == "mxu2":
+        # 2 single-pass products against the exact-in-bf16 one-hot replace
+        # HIGHEST's 6 (see _dot_onehot_split)
+        sel = _dot_onehot_split(xn, Mf, ((1,), (0,)))
+    else:  # "mxu_high" / "vpu_g": HIGH-precision select — INTERPRET-ONLY
+        # (Mosaic rejects Precision.HIGH; kept as the interpret-mode
+        # cross-check of the split's error model)
         sel = _dot_high(xn, Mf, ((1,), (0,)))
     x_nn = sel[0:3]
     n_at = sel[3:6]
@@ -198,6 +249,8 @@ def _dist_loss_step(
         )  # [3, P1p]
     elif sel_impl == "mxu":
         gpart = _dot(u, Mf, ((1,), (1,)))  # [3, P1p]
+    elif sel_impl == "mxu2":
+        gpart = _dot_onehot_split(u, Mf, ((1,), (1,)))
     else:
         gpart = _dot_high(u, Mf, ((1,), (1,)))
 
@@ -660,7 +713,13 @@ def chamfer_dist_loss(
     # entirely and emit ZERO sums/gradients (mask-padded frames, padded
     # object slots — the caller's frame/object masks zero them anyway)
     interpret: bool = False,
-    sel_impl: str = "mxu",
+    # "mxu2" (default): select/gradient contractions as 2 single-pass bf16
+    # products against the exact-in-bf16 one-hot (_dot_onehot_split) —
+    # MEASURED 977 vs 1320 ms for the production G pred pass on v5e
+    # (bs=64 L=160 nobj=2 P=8192, masked, fwd+grad, 2026-08-21) at ~2^-17
+    # select accuracy. "mxu" = all-HIGHEST oracle (6 passes each), "vpu"
+    # masked VPU reductions (1210 ms), "mxu_high"/"vpu_g" interpret-only.
+    sel_impl: str = "mxu2",
     region_cull: bool = False,
     x_perm=None,  # static [P1] int permutation (core/mano.hand_template_perm)
 ) -> tuple[jax.Array, jax.Array]:
