@@ -1,5 +1,13 @@
 """Cluster-pruned nearest-neighbor (chamfer) Pallas TPU kernels — static-trip top-K.
 
+STATUS: RETIRED from all default routes (round 4). Re-measured with a
+full-size hand it silently overestimated h2o by ~8 mm on realistic scenes, so
+core/geometry routes "auto" to the exact kernels (chamfer_pallas /
+chamfer_cull); this kernel remains a monitored OPT-IN (backend="cluster")
+whose only production caller is the overflow certificate in launch/train_r's
+val epoch. Kept for its certificate machinery and as the fastest approximate
+route when its certificate holds.
+
 The all-pairs kernel in ops/chamfer_pallas.py is OUTPUT-RATE-bound on the MXU:
 each [128, 128] distance tile costs a full systolic pass regardless of the
 K=5 augmented contraction depth (chamfer_pallas.py:74-89). Going materially

@@ -1,5 +1,9 @@
 """Bounds-culled EXACT hand->object nearest-neighbor kernel (TPU Pallas).
 
+STATUS: LIVE — the default h2o route on TPU (core/geometry.point2point_h2o
+"auto"); bit-identical to chamfer_pallas, 1.64x/1.69x fwd/grad at production
+shapes.
+
 The all-pairs h2o kernel (ops/chamfer_pallas.py) is OUTPUT-RATE-bound on the
 MXU: every [P1p, P2] distance block costs ~P1p*P2/128 cycles no matter how
 skinny the contraction is, so the only way down is to not emit distance tiles

@@ -1,5 +1,8 @@
 """Fused bidirectional nearest-neighbor (chamfer) Pallas TPU kernel.
 
+STATUS: LIVE — the default route for every bidirectional/signed query and the
+exactness oracle the other chamfer kernels are verified against.
+
 Replaces the reference's CUDA chamfer extension (thirdparty/chamfer_distance,
 wrapped at model/loss/chamfer_distance.py) on its hot path: the h2o/o2h signed
 distances computed per frame between 778 hand verts and nobj*8192 object

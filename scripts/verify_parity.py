@@ -9,6 +9,7 @@ env-gated tests; this unifies them for the day real weights show up
   python scripts/verify_parity.py \
       [--g_ckpt G.pt] [--r_ckpt R.pt] [--encoder_ckpt E.pt] \
       [--clip_ckpt ViT-B-32.pt] [--bpe bpe_simple_vocab_16e6.txt.gz] \
+      [--pointbert_ckpt pointbert.pt] \
       [--mano_path MANO_DIR] [--reference_src /root/reference/src] \
       [--chain_steps 50]
 
@@ -31,6 +32,8 @@ Checks (each SKIPs when its asset/flag is absent):
                 replica (ref segment_refine_model.py:170-216)
   encoder       real FID-encoder checkpoint: encoding + activation parity
                 (ref segment_encoder.py:17-70; drives eval/compute_score FID)
+  pointbert     real Point-BERT checkpoint: flax tower vs the torch replica
+                on the same weights (ref pointbert/point_encoder.py:103-144)
   mano          core/mano vs the committed real-manotorch golden fixture
                 (tests/fixtures/mano_golden_real.npz, produced by
                 scripts/dump_mano_golden.py) + kintree check vs --mano_path
@@ -441,6 +444,68 @@ def check_encoder(args):
     return f"FID encoding max|Δ|={d_enc:.2e}, logits max|Δ|={d_act:.2e}"
 
 
+def check_pointbert(args):
+    """Real Point-BERT checkpoint: flax tower vs the torch replica running
+    the SAME weights (ref model/pointbert/point_encoder.py:103-144; the
+    replica pins the reference's random FPS start to index 0 — see
+    tests/test_pointbert_parity.py docstring)."""
+    if not args.pointbert_ckpt:
+        raise SkipCheck("--pointbert_ckpt not given")
+    import importlib.util
+
+    import jax.numpy as jnp
+    import torch
+
+    from oakink2_tamf_tpu.models import pointbert as PB
+
+    spec = importlib.util.spec_from_file_location(
+        "_pb_replica", os.path.join(REPO, "tests", "test_pointbert_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ckpt = torch.load(args.pointbert_ckpt, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {
+        k.removeprefix("module.point_encoder."): v
+        for k, v in sd.items()
+        if "point_encoder." in k or "module." not in k
+    }
+    trans_dim = int(sd["cls_token"].shape[-1])
+    depth = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("blocks.blocks.")
+    )
+    encoder_dims = int(sd["encoder.second_conv.3.weight"].shape[0])
+    # heads/grouping are not recoverable from weight shapes — take them from
+    # the reference yaml matching this width (PointTransformer_base_8192point
+    # vs _8192point_2layer), overridable via --heads
+    known = {384: (6, 32, 512), 1152: (12, 48, 512)}
+    heads, group_size, num_group = known.get(trans_dim, (args.heads or 6, 32, 512))
+    cfg = PB.PointBertConfig(
+        trans_dim=trans_dim, depth=depth, drop_path_rate=0.0,
+        num_heads=args.heads or heads, group_size=group_size,
+        num_group=num_group, encoder_dims=encoder_dims,
+    )
+    ref = mod.TorchPointTransformer(cfg).eval()
+    res = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False
+    )
+    assert not res.missing_keys, f"checkpoint missing keys: {res.missing_keys[:5]}"
+    variables = PB.convert_pointbert_state_dict(
+        {k: np.asarray(v) for k, v in sd.items()}, cfg
+    )
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(2, 2048, 3)).astype(np.float32) * 0.08
+    with torch.no_grad():
+        ref_emb = ref(torch.from_numpy(pts)).numpy()
+    out = np.asarray(
+        PB.PointTransformer(cfg).apply(variables, jnp.asarray(pts), train=False)
+    )
+    d = _maxdiff(out, ref_emb)
+    assert d < ATOL_FWD, f"embedding max|Δ|={d:.2e}"
+    return f"obj embedding [{out.shape[1]}] max|Δ|={d:.2e} (d={trans_dim} depth={depth})"
+
+
 def check_mano(args):
     fixture = os.path.join(REPO, "tests", "fixtures", "mano_golden_real.npz")
     if not os.path.isfile(fixture):
@@ -469,6 +534,7 @@ def main(argv=None):
     p.add_argument("--r_ckpt", default=os.environ.get("TAMF_R_CKPT"))
     p.add_argument("--encoder_ckpt", default=os.environ.get("TAMF_ENCODER_CKPT"))
     p.add_argument("--clip_ckpt", default=os.environ.get("TAMF_CLIP_CKPT"))
+    p.add_argument("--pointbert_ckpt", default=os.environ.get("TAMF_POINTBERT_CKPT"))
     p.add_argument("--bpe", default=None, help="CLIP merges (default: auto-discover)")
     p.add_argument("--mano_path", default=None)
     p.add_argument("--reference_src", default="/root/reference/src")
@@ -503,6 +569,7 @@ def main(argv=None):
     rep.run("g_chain", lambda: check_g_chain(args))
     rep.run("r_forward", lambda: check_r_forward(args))
     rep.run("encoder", lambda: check_encoder(args))
+    rep.run("pointbert", lambda: check_pointbert(args))
     rep.run("mano", lambda: check_mano(args))
     return rep.conclude()
 

@@ -19,13 +19,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated suite runs skip recompiles.
-# NOTE: run ONE pytest process at a time — two concurrent processes sharing
-# this cache dir were observed (twice) to SIGABRT inside XLA:CPU value
-# fetch/compile; every serial run is clean.
+# Two processes sharing ONE cache dir were observed (twice) to SIGABRT inside
+# XLA:CPU value fetch/compile, so each xdist worker gets its OWN dir (keyed on
+# PYTEST_XDIST_WORKER, set by pytest-xdist before this conftest imports in the
+# worker) — `pytest -n 4` is safe; so is plain serial `pytest` (worker "gw0"
+# absent -> the shared serial dir). Ad-hoc concurrent *serial* pytest runs
+# remain unsupported.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "")
+_cache = os.path.expanduser(
+    f"~/.cache/tamf_xla_tests_{_worker}" if _worker else "~/.cache/tamf_xla_tests"
+)
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/tamf_xla_tests")
-    )
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

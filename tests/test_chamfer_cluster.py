@@ -15,6 +15,12 @@ from oakink2_tamf_tpu.core import geometry as G
 from oakink2_tamf_tpu.ops import chamfer_cluster as CC
 from oakink2_tamf_tpu.utils.pc_util import spatial_sort_indices
 
+# the cluster kernel is RETIRED from all default routes (see its STATUS
+# header) — its suite runs with `pytest -m slow`, keeping the fast suite for
+# live paths; the live certificate plumbing stays fast-guarded by
+# test_overflow_monitor.py
+pytestmark = pytest.mark.slow
+
 
 def scene(F=2, P1=200, P2=700, seed=0, spread=0.2):
     rng = np.random.default_rng(seed)

@@ -76,10 +76,14 @@ def test_quat_multiply_invert(rng):
 
 
 def test_rotvec_roundtrip(rng):
+    # the roundtrip is identity only on the canonical branch |v| < pi —
+    # rescale draws into it (a shared-stream draw landing above pi is a
+    # legitimate 2*pi wrap, not a bug; this bit an xdist-reordered run)
     v = rng.normal(size=(64, 3)).astype(np.float32)
+    mag = np.linalg.norm(v, axis=-1, keepdims=True)
+    v = v * (0.9 * np.pi * np.tanh(mag / np.pi) / np.maximum(mag, 1e-9))
     q = T.rotvec_to_quat(jnp.asarray(v))
     v2 = T.quat_to_rotvec(q)
-    # rotvec is unique up to 2*pi wrap; our magnitudes < ~5 so fine
     np.testing.assert_allclose(np.asarray(v2), v, atol=1e-4)
 
 

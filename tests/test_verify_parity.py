@@ -51,7 +51,7 @@ def _args(ckpts, **kw):
         g_ckpt=str(ckpts / "g.pt"), r_ckpt=str(ckpts / "r.pt"),
         encoder_ckpt=str(ckpts / "e.pt"), clip_ckpt=str(ckpts / "clip.pt"),
         bpe=None, mano_path=None, reference_src="/root/reference/src",
-        chain_steps=5, heads=0,
+        chain_steps=5, heads=0, pointbert_ckpt=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -63,6 +63,44 @@ def test_forward_checks_pass(harness, ckpts):
     assert "max|Δ|" in harness.check_r_forward(a)
     assert "max|Δ|" in harness.check_encoder(a)
     assert "max|Δ|" in harness.check_clip(a)
+
+
+def test_pointbert_check_passes(harness, tmp_path):
+    # replica-generated ckpt in the reference on-disk format; trans_dim=384
+    # routes dim inference through the known (heads, grouping) table — shrink
+    # depth/groups so the check stays CPU-cheap
+    pb = _load_pb_replica()
+    from oakink2_tamf_tpu.models.pointbert import PointBertConfig
+
+    cfg = PointBertConfig(
+        trans_dim=384, depth=2, drop_path_rate=0.0, num_heads=6,
+        group_size=8, num_group=16, encoder_dims=256,
+    )
+    torch.manual_seed(2)
+    tm = pb.TorchPointTransformer(cfg).eval()
+    fp = tmp_path / "pointbert.pt"
+    torch.save(
+        {"state_dict": {"module.point_encoder." + k: v for k, v in tm.state_dict().items()}},
+        fp,
+    )
+    a = _args_pb(str(fp))
+    out = harness.check_pointbert(a)
+    assert "max|Δ|" in out and "d=384 depth=2" in out
+
+
+def _load_pb_replica():
+    spec = importlib.util.spec_from_file_location(
+        "_pb_replica_t", os.path.join(REPO, "tests", "test_pointbert_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args_pb(pb_path):
+    return argparse.Namespace(
+        pointbert_ckpt=pb_path, heads=0,
+    )
 
 
 @pytest.mark.skipif(
