@@ -8,10 +8,16 @@ test:
 test-slow:
 	python -m pytest tests/ -x -q -m slow
 
-# Everything. Keep it a single serial pytest process (see tests/conftest.py on
-# the shared-compile-cache SIGABRT under concurrent pytest).
+# Everything. The persistent XLA compile cache is keyed per xdist worker
+# (tests/conftest.py), so `pytest -n N` is safe on multi-core hosts; two
+# concurrent SERIAL pytest processes still share one cache dir — don't.
+# Fast suite serial wall clock: ~10 min warm-cache on a single core (the
+# retired cluster-kernel suite and the heaviest A/B sweeps live in `slow`).
 test-all:
 	python -m pytest tests/ -x -q -m ""
+
+test-par:
+	python -m pytest tests/ -q -n 4
 
 bench:
 	python bench.py

@@ -11,6 +11,14 @@ all-valid — because 2048-column y tiles are unions of 16 compact 128-point
 sort leaves and span most of the object cloud, so the per-tile ANY over
 columns almost never discharges a region (measured candidate fraction 0.9999
 at that shape). A finer-grained cull needs per-leaf masks, not a bigger eps.
+Note the x_perm the cull requires REORDERS first-min tie-breaks: at far
+columns many hand rows are near-equidistant under the MXU's 2^-24 d2
+rounding, and a reassigned winner can carry an opposed normal — flipping
+the o2h SIGN and hence the 1.5/0.1 weight for that column (per-frame do
+sums then move by O(|o2h|) on a handful of columns; bisected on v5e
+2026-08-21: cull-vs-uncull at the SAME perm is bit-identical across
+T∈{2,4}, y_group∈{1,4,8,16}, sorted prod-scale clouds — the delta is
+entirely perm-tie-break, the same knife-edge any f32 implementation has).
 
 The G train step's chamfer cost (reference extra_loss.py:146-178) is the
 signed bidirectional pass over [F=bs*nobj*L, 778] hand verts x [P2=8192]
@@ -260,7 +268,10 @@ def _dist_loss_step(
     cols = jax.lax.broadcasted_iota(jnp.int32, (P1p, tile), 1)
     M2 = (cols == targ[:, None]).astype(jnp.float32)  # [P1p, tile]
     # y coords at the tile-local argmin, per x lane (VPU masked lane-reduce —
-    # replaces the composed backward's K=tile one-hot MXU pass)
+    # replaces the composed backward's K=tile one-hot MXU pass). Migrating
+    # these three reduces to a _dot_onehot_split MXU pass was MEASURED
+    # slightly SLOWER (1006 vs 977 ms masked production pass, v5e
+    # 2026-08-21): the VPU work here overlaps the MXU pipeline already.
     ysel0 = jnp.sum(M2 * yt[0, :][None, :], axis=1)  # [P1p]
     ysel1 = jnp.sum(M2 * yt[1, :][None, :], axis=1)
     ysel2 = jnp.sum(M2 * yt[2, :][None, :], axis=1)
