@@ -711,8 +711,13 @@ def _bench_train(extra, mesh, n_dev, peak, maybe_shard, maybe_rep, emit):
         step_r = PT.make_r_train_step(net, opt, mano_stack, assets, LL.RefineLossConfig(), chunk=chunk, mesh=mesh)
         sbatch_r = maybe_shard(rbatch)
         exe_r = step_r.lower(state, sbatch_r, jax.random.PRNGKey(0)).compile()
-        measure(f"train_r{tag}", exe_r, state, sbatch_r, bs, P, rbatch)
+        _, r_dt = measure(f"train_r{tag}", exe_r, state, sbatch_r, bs, P, rbatch)
         emit()
+        if tag == "_prod" and os.environ.get("BENCH_BUDGET", "1") != "0":
+            del state, step_r, exe_r
+            _bench_r_budget(
+                extra, emit, mesh, n_dev, net, mano_stack, rbatch, chunk, r_dt
+            )
         return batch, cond, g_dt
 
     # light regression canary (round-2 comparable) ---------------------------
@@ -882,6 +887,113 @@ def _bench_g_budget(extra, emit, mesh, n_dev, maybe_shard, maybe_rep,
         budget["chamfer_pred_fused_allvalid_ms"] = round(allvalid_dt * 1e3, 1)
     extra["train_g_prod_budget"] = budget
     print(f"# train_g_prod budget: {budget}", file=sys.stderr)
+    emit()
+
+
+def _bench_r_budget(extra, emit, mesh, n_dev, net, mano_stack, rbatch,
+                    chunk, r_step_dt):
+    """Step-time budget for the production R step, mirroring the G budget:
+    sample-branch geometry (MANO recovery + stop-gradient h2o of the input
+    sample — parallel/train.make_r_train_step:301), refined-branch geometry
+    fwd+bwd (MANO + the differentiated h2o cull pass, probed as a grad of
+    the geometry alone), the transformer net fwd+bwd, and the residual
+    (loss glue, optimizer, dispatch). The target branch is CACHED in the
+    timed batch (target_h2o rides in) so it contributes nothing — the
+    uncached target pass is the tgt_fn build cost reported by the caller.
+    Components OVERLAP slightly (the net probe's dropout rng differs, the
+    geometry probe repeats the MANO fwd the step shares), so other_ms is an
+    approximation — same caveat as the G budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from oakink2_tamf_tpu.models.refine_r import (
+        batch_recover_mano, multi_object_h2o_dist, sample_geometry,
+    )
+    from oakink2_tamf_tpu.core import mano as M
+
+    def timeit(exe, *args):
+        out = exe(*args)
+        jax.tree.leaves(out)[0].block_until_ready()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = exe(*args)
+            leaf = jax.tree.leaves(out)[0]
+            leaf.block_until_ready()
+            _ = np.asarray(leaf).ravel()[0]
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    jb = {k: jnp.asarray(v) for k, v in rbatch.items()
+          if k in ("sample_pose_repr", "shape", "hand_side", "obj_traj",
+                   "obj_points", "obj_mask", "mask")}
+
+    # sample branch: MANO recover + h2o (fwd only, stop-gradient in the
+    # step) — WITH the step's frame_mask (padded-frame dedup); a maskless
+    # probe re-created the round-4 incoherent-budget bug for R
+    def sample_probe(pose, shape, hs, traj, pts, om, fm):
+        sg = sample_geometry(
+            mano_stack,
+            {"sample_pose_repr": pose, "shape": shape, "hand_side": hs,
+             "obj_traj": traj, "obj_points": pts, "obj_mask": om},
+            chunk=chunk, frame_mask=fm,
+        )
+        return sum(jnp.sum(v) for v in sg.values())
+
+    s_args = (jb["sample_pose_repr"], jb["shape"], jb["hand_side"],
+              jb["obj_traj"], jb["obj_points"], jb["obj_mask"], jb["mask"])
+    exe = jax.jit(sample_probe).lower(*s_args).compile()
+    sample_dt = timeit(exe, *s_args)
+    del exe
+
+    # refined branch geometry fwd+bwd: grad through MANO + the h2o cull pass
+    x_perm = M.hand_template_perm(mano_stack)
+
+    def refine_geom_probe(pose, shape, hs, traj, pts, om, fm):
+        def f(p):
+            verts, joints, normals = batch_recover_mano(mano_stack, p, shape, hs)
+            h2o = multi_object_h2o_dist(
+                verts, normals, traj, pts, om, chunk=chunk, x_perm=x_perm,
+                frame_mask=fm,
+            )
+            return jnp.sum(h2o) + jnp.sum(verts) + jnp.sum(joints)
+        return jnp.sum(jax.grad(f)(pose))
+
+    rg_args = s_args  # (..., jb["mask"]) — same trailing frame mask
+    exe = jax.jit(refine_geom_probe).lower(*rg_args).compile()
+    refine_geom_dt = timeit(exe, *rg_args)
+    del exe
+
+    # net fwd+bwd alone (transformer trunk + heads)
+    cond_r = {k: jnp.asarray(rbatch[k]) for k in
+              ("hand_side", "shape", "obj_embedding", "obj_traj", "obj_mask")}
+    h2o_in = jnp.zeros(rbatch["sample_pose_repr"].shape[:2] + (778,))
+    params = net.init(
+        jax.random.PRNGKey(0), jb["sample_pose_repr"], h2o_in, cond_r
+    )
+
+    def net_probe(p, pose, h2o, cond):
+        def f(pp):
+            return jnp.sum(net.apply(pp, pose, h2o, cond))
+        return jax.tree.leaves(jax.grad(f)(p))[0]
+
+    n_args = (params, jb["sample_pose_repr"], h2o_in, cond_r)
+    exe = jax.jit(net_probe).lower(*n_args).compile()
+    net_dt = timeit(exe, *n_args)
+    del exe
+
+    budget = {
+        "step_ms": round(r_step_dt * 1e3, 1),
+        "sample_geom_ms": round(sample_dt * 1e3, 1),
+        "refine_geom_ms": round(refine_geom_dt * 1e3, 1),
+        "net_ms": round(net_dt * 1e3, 1),
+        "target_geom_ms": 0.0,  # cached target_h2o in the timed batch
+        "other_ms": round(
+            (r_step_dt - sample_dt - refine_geom_dt - net_dt) * 1e3, 1
+        ),
+    }
+    extra["train_r_prod_budget"] = budget
+    print(f"# train_r_prod budget: {budget}", file=sys.stderr)
     emit()
 
 

@@ -52,6 +52,12 @@ def synthetic_batch(
     mask = np.zeros((bs, L), np.float32)
     for i, n in enumerate(lens):
         mask[i, :n] = 1.0
+    # the real pipeline ZERO-pads every per-frame key past the true length
+    # (data/slice.py:33; the reference zero-pads at collate the same way) —
+    # honor that contract here so (a) synthetic benches exercise the
+    # padded-frame dedup in models/refine_r.sample_geometry exactly as
+    # production data does, (b) padded-frame content never leaks signal
+    pose_repr = pose_repr * mask[:, :, None]
 
     n_real = rng.integers(1, max_nobj + 1, size=(bs,))
     obj_mask = np.zeros((bs, max_nobj), bool)
@@ -61,6 +67,7 @@ def synthetic_batch(
     obj_tsl = rng.normal(scale=0.3, size=(bs, max_nobj, L, 3)).astype(np.float32)
     obj_rot6d = _random_rot6d(rng, (bs, max_nobj, L))
     obj_traj = np.concatenate([obj_tsl, obj_rot6d], axis=-1)
+    obj_traj = obj_traj * mask[:, None, :, None]  # zero-pad contract (above)
 
     # canonical clouds, spatially sorted — the REAL pipeline's collate
     # contract (data/collate.py:74-95): contiguous leaf blocks are compact,
@@ -80,7 +87,8 @@ def synthetic_batch(
         "pose_repr": pose_repr,
         "mask": mask,
         "len": lens.astype(np.int32),
-        "shape": rng.normal(scale=0.5, size=(bs, L, 10)).astype(np.float32),
+        "shape": rng.normal(scale=0.5, size=(bs, L, 10)).astype(np.float32)
+        * mask[:, :, None],
         "hand_side": rng.integers(0, 2, size=(bs,)).astype(np.int32),
         "text_emb": rng.normal(size=(bs, 512)).astype(np.float32),
         "obj_traj": obj_traj,
@@ -96,13 +104,20 @@ def synthetic_batch(
 
 def with_perturbed_sample(batch: dict, rng: np.random.Generator, sigma_range=(0.02, 0.1)) -> dict:
     """Add a sample_pose_repr via Gaussian perturbation of pose_repr (the
-    GuassianPerturbSampleAdaptor pattern, dataset/pose_repr_sample.py:55-94)."""
+    GuassianPerturbSampleAdaptor pattern, dataset/pose_repr_sample.py:55-94).
+
+    Padded frames stay ZERO: the reference perturbs dataset items at their
+    true length and zero-pads at collate, so sample_pose_repr past the mask
+    is exactly zero — the contract sample_geometry's padded-frame dedup
+    (models/refine_r.py) relies on. An earlier version perturbed the padded
+    batch directly, deviating from the reference."""
     pr = np.asarray(batch["pose_repr"])
     sigma = rng.uniform(*sigma_range)
     noisy = pr.copy()
     noisy[..., 0:3] += rng.normal(scale=0.1 * sigma, size=pr[..., 0:3].shape)
     noisy[..., 3:] += rng.normal(scale=sigma, size=pr[..., 3:].shape)
     sp = np.asarray(T.renormalize_pose_repr_rot6d(jnp.asarray(noisy)))
+    sp = sp * (np.asarray(batch["mask"]) > 0)[:, :, None]
     out = dict(batch)
     out["sample_pose_repr"] = jnp.asarray(sp)
     return out

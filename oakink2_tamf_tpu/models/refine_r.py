@@ -306,19 +306,55 @@ def sample_geometry(
     *,
     chunk: int = 2048,
     h2o_backend: str = "auto",
+    frame_mask: jax.Array | None = None,  # [bs, L]: enables the EXACT
+    # padded-frame dedup below. Correct ONLY under the padding contract
+    # (sample_pose_repr/obj_traj/shape zero-padded past the true length —
+    # data/collate.py and every adaptor, which perturb/copy PRE-collate like
+    # the reference's dataset-level adaptors); pass None to force the full
+    # unculled pass.
 ) -> dict[str, jax.Array]:
     """Geometry of the INPUT sample (ref :193-208): MANO recovery + h2o of
     sample_pose_repr. Pure function of the batch — no model params — so the
     train step computes it OUTSIDE the grad closure (like target_geometry);
-    only the refined branch needs differentiation."""
+    only the refined branch needs differentiation.
+
+    sample_h2o is NETWORK INPUT: the trunk keeps the reference's
+    no-attention-mask contract, so padded frames feed real distances (the
+    reference computes them over its own zero-padded batch —
+    segment_refine_model.py:201). Zero-padding makes every padded frame of
+    a sample IDENTICAL (pose=0, obj_traj=0, shape=0), and on such a frame
+    the reference's object-to-world formulation DEGENERATES: rot6d(0) maps
+    to the zero matrix, the transformed cloud collapses to the origin, and
+    its h2o is per-vert ||v_i|| of the zero-pose hand — which the
+    hand-into-canonical-frame trick (multi_object_h2o_dist) CANNOT
+    reproduce (R=0 collapses the hand instead; rigid invariance needs an
+    orthonormal R). So with `frame_mask` the h2o pass runs frame-CULLED
+    over the true-length frames, and padded frames get the reference-exact
+    closed form ||v_i|| broadcast from representative frame L-1 (unused
+    when the segment fills all L frames). This both FIXES the padded-frame
+    parity deviation of the full unculled pass and cuts its cost to the
+    valid fraction — measured 667 ms of the 1104 ms production R step
+    (bench train_r_prod budget, v5e)."""
     s_verts, s_joints, s_normals = batch_recover_mano(
         mano_stack, batch["sample_pose_repr"], batch["shape"], batch["hand_side"]
     )
-    s_h2o = multi_object_h2o_dist(
-        s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
-        batch["obj_mask"], chunk=chunk,
-        x_perm=M.hand_template_perm(mano_stack), backend=h2o_backend,
-    )
+    x_perm = M.hand_template_perm(mano_stack)
+    if frame_mask is None:
+        s_h2o = multi_object_h2o_dist(
+            s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
+            batch["obj_mask"], chunk=chunk, x_perm=x_perm, backend=h2o_backend,
+        )
+    else:
+        masked = multi_object_h2o_dist(
+            s_verts, s_normals, batch["obj_traj"], batch["obj_points"],
+            batch["obj_mask"], chunk=chunk, x_perm=x_perm,
+            backend=h2o_backend, frame_mask=frame_mask,
+        )  # culled frames come out BIG — replaced below
+        # reference-exact padded-frame value (see docstring): every valid
+        # object's cloud sits at the origin, so the union h2o is the
+        # per-vert norm of the (zero-pose) hand at frame L-1
+        pad_h2o = jnp.linalg.norm(s_verts[:, -1:], axis=-1)  # [bs, 1, 778]
+        s_h2o = jnp.where((frame_mask > 0)[:, :, None], masked, pad_h2o)
     return {
         "sample_hand_verts": s_verts,
         "sample_hand_joints": s_joints,

@@ -299,7 +299,12 @@ def make_r_train_step(
             frame_mask=batch["mask"],
         )
         sg = jax.lax.stop_gradient(
-            sample_geometry(mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend)
+            sample_geometry(
+                mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend,
+                # exact padded-frame dedup (see sample_geometry): valid under
+                # the zero-padding collate/adaptor contract
+                frame_mask=batch["mask"],
+            )
         )
 
         def loss_fn(params):

@@ -159,6 +159,56 @@ def test_multi_object_h2o_all_masked_finite(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_sample_geometry_padded_frame_dedup(rng):
+    """sample_geometry(frame_mask=...) must (a) match the full pass on every
+    valid frame and (b) emit the REFERENCE-exact degenerate value ||v_i|| of
+    the zero-pose hand on zero-padded frames — where the full hand-into-
+    canonical-frame pass CANNOT reproduce the reference (rot6d(0) -> R=0
+    collapses the hand, see the sample_geometry docstring)."""
+    from oakink2_tamf_tpu.models.refine_r import sample_geometry
+
+    bs, Ls = 2, 8
+    lens = [5, Ls]  # one padded sample, one full-length
+    mask = np.zeros((bs, Ls), np.float32)
+    for i, n in enumerate(lens):
+        mask[i, :n] = 1.0
+    pose = rng.normal(size=(bs, Ls, 99)).astype(np.float32) * mask[:, :, None]
+    shape = rng.normal(size=(bs, Ls, 10)).astype(np.float32) * mask[:, :, None]
+    traj = rng.normal(size=(bs, NOBJ, Ls, 9)).astype(np.float32)
+    traj = traj * mask[:, None, :, None]
+    batch = {
+        "sample_pose_repr": jnp.asarray(pose),
+        "shape": jnp.asarray(shape),
+        "hand_side": jnp.asarray(np.array([0, 1], np.int32)),
+        "obj_traj": jnp.asarray(traj),
+        "obj_points": jnp.asarray(
+            rng.normal(size=(bs, NOBJ, P, 3)).astype(np.float32) * 0.1
+        ),
+        "obj_mask": jnp.asarray(np.array([[True, False], [True, True]])),
+    }
+    mano_stack = stack_mano_models(
+        M.synthetic_mano_model("right"), M.synthetic_mano_model("left")
+    )
+    full = sample_geometry(mano_stack, batch, chunk=32)
+    fast = sample_geometry(
+        mano_stack, batch, chunk=32, frame_mask=jnp.asarray(mask)
+    )
+    h_full = np.asarray(full["sample_h2o_dist"])
+    h_fast = np.asarray(fast["sample_h2o_dist"])
+    valid = mask > 0
+    np.testing.assert_allclose(h_fast[valid], h_full[valid], rtol=1e-6)
+    # padded frames: per-vert norm of the zero-pose hand (frame L-1 of the
+    # padded sample), identical across its padded frames
+    v_pad = np.asarray(fast["sample_hand_verts"])[0, -1]
+    expect = np.linalg.norm(v_pad, axis=-1)
+    for f in range(lens[0], Ls):
+        np.testing.assert_allclose(h_fast[0, f], expect, rtol=1e-6)
+    # MANO outputs are untouched by the dedup
+    np.testing.assert_array_equal(
+        np.asarray(fast["sample_hand_verts"]), np.asarray(full["sample_hand_verts"])
+    )
+
+
 def test_encoder_forward(rng):
     cfg = EncoderConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, output_dim=70)
     model = SegmentEncoder(cfg)
