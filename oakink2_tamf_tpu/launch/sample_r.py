@@ -111,7 +111,10 @@ def main(argv=None):
     from ..parallel.mesh import batch_sharding, replicate, replicated, shard_batch
 
     fwd = jax.jit(
-        lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True, with_target=False),
+        # loss_frame_mask: sample-h2o padded-frame dedup (exact, the loader's
+        # collate zero-pads) — nothing saved here reads h2o at padded frames
+        lambda p, b: refine_forward(net, p, mano_stack, b, deterministic=True,
+                                    with_target=False, loss_frame_mask=b["mask"]),
         in_shardings=(replicated(mesh), batch_sharding(mesh)),
         out_shardings=batch_sharding(mesh),
     )

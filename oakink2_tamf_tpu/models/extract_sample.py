@@ -66,9 +66,12 @@ def extract_refined_sample(
     else:
         raise ValueError(sampler)
 
-    dbatch["sample_pose_repr"] = sample
+    # zero G's output past the true length before R (reference contract:
+    # R consumes samples via its zero-padding collate — see serving.py note)
+    dbatch["sample_pose_repr"] = sample * dbatch["mask"][:, :, None]
     out = refine_forward(
-        refine_net, r_params, mano_stack, dbatch, deterministic=True, with_target=False
+        refine_net, r_params, mano_stack, dbatch, deterministic=True,
+        with_target=False, loss_frame_mask=dbatch["mask"],
     )
     return np.asarray(jax.device_get(out["refine_pose_repr"]))
 

@@ -385,10 +385,12 @@ def refine_forward(
 
     `loss_frame_mask` (usually batch["mask"]) marks mask-padded frames whose
     refine/target h2o the loss zeroes: the cull route skips their searches
-    entirely and leaves BIG values there. It deliberately does NOT touch
-    sample_h2o — that is a NETWORK INPUT, and the trunk keeps the
-    reference's no-attention-mask contract, so padded-frame inputs must stay
-    real distances for checkpoint parity. Callers that READ refine/target
+    entirely and leaves BIG values there. sample_h2o is a NETWORK INPUT
+    (no-attention-mask trunk: padded-frame inputs must be the reference's
+    real values), so when loss_frame_mask is given the fallback
+    sample_geometry call uses it for the EXACT padded-frame dedup — padded
+    inputs become the reference's degenerate closed form, see
+    sample_geometry — never for zeroing. Callers that READ refine/target
     h2o at padded frames (none do: the loss masks, debug_refine slices to
     true length) must not pass it."""
     x_in = batch["sample_pose_repr"]
@@ -403,7 +405,8 @@ def refine_forward(
 
     if sample_geom is None:
         sample_geom = sample_geometry(
-            mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend
+            mano_stack, batch, chunk=chunk, h2o_backend=h2o_backend,
+            frame_mask=loss_frame_mask,
         )
     s_verts = sample_geom["sample_hand_verts"]
     s_joints = sample_geom["sample_hand_joints"]

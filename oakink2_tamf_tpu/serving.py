@@ -78,10 +78,17 @@ class TamfPipeline:
             else:
                 raise ValueError(self.sampler)
             b2 = dict(batch)
-            b2["sample_pose_repr"] = sample
+            # zero G's output past each segment's true length before R: the
+            # reference's R only ever sees samples through its save->load->
+            # zero-pad collate (dataset/pose_repr_sample.py), so padded
+            # frames are zeros there — raw chain output at padded frames is
+            # sampler noise the reference R never conditions on. Also makes
+            # the sample-h2o padded-frame dedup (loss_frame_mask) exact.
+            b2["sample_pose_repr"] = sample * batch["mask"][:, :, None]
             out = refine_forward(
                 self.refine_net, r_params, self.mano_stack, b2,
                 deterministic=True, with_target=False,
+                loss_frame_mask=batch["mask"],
             )
             return {
                 "refine_pose_repr": out["refine_pose_repr"],
