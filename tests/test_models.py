@@ -257,6 +257,24 @@ def test_extra_loss(rng):
     )(model_output)
     assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).max()) > 0
 
+    # the experimental region-culled fused route (dist_impl="fused_cull",
+    # interpret mode) must agree with the plain fused route through the full
+    # loss — the template-perm tie-break sensitivity (ops/chamfer_loss
+    # STATUS note) shows only at far columns under MXU rounding, which
+    # interpret mode's exact f32 path doesn't have
+    lf = lambda mo, impl: LL.interaction_segment_extra_loss(
+        mano_stack, assets, cfg, mo, batch, chunk=64,
+        dist_impl=impl, interpret=True,
+    )[0]
+    v_fused = float(lf(model_output, "fused"))
+    v_cull = float(lf(model_output, "fused_cull"))
+    np.testing.assert_allclose(v_cull, v_fused, rtol=1e-4)
+    g_fused = jax.grad(lambda mo: lf(mo, "fused"))(model_output)
+    g_cull = jax.grad(lambda mo: lf(mo, "fused_cull"))(model_output)
+    np.testing.assert_allclose(
+        np.asarray(g_cull), np.asarray(g_fused), rtol=2e-3, atol=1e-4
+    )
+
 
 def test_explicit_missing_contact_assets_raise(tmp_path):
     """Explicit vpe/c_weight paths that don't exist must raise, not silently
