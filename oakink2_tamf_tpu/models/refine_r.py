@@ -139,11 +139,23 @@ def batch_recover_mano(
     def single(pr, sh, side):
         # leaves are host numpy constants; wrap before the traced gather
         model = jax.tree.map(lambda a: jnp.asarray(a)[side], mano_stack)
-        verts, joints = M.recover_mano_from_pose_repr(model, pr, sh)
-        normals = G.vertex_normals(verts, model.faces)
-        return verts, joints, normals
+        return M.recover_mano_from_pose_repr(model, pr, sh)
 
-    return jax.vmap(single)(pose_repr, shape, hand_side)
+    verts, joints = jax.vmap(single)(pose_repr, shape, hand_side)
+    # normals OUTSIDE the vmap with STATIC per-side faces: inside it the
+    # faces would be a traced gather, forcing vertex_normals onto its
+    # scatter path (TPU-serialized — measured 83 ms of the 136 ms MANO
+    # fwd+bwd at the G production batch); the static path runs dense
+    # {0,+-1}-operator matmuls instead. Both sides are computed (~2 ms
+    # each) and selected per sample.
+    import numpy as np
+
+    faces = np.asarray(mano_stack.faces)  # [2, F, 3] host constant
+    n_by_side = [G.vertex_normals(verts, faces[s]) for s in range(2)]
+    normals = jnp.where(
+        (hand_side == 0)[:, None, None, None], n_by_side[0], n_by_side[1]
+    )
+    return verts, joints, normals
 
 
 def _canonical_frame_operands(hand_verts, obj_traj, obj_points):
