@@ -29,6 +29,19 @@ from . import transforms as T
 CULL_MIN_P2 = 4096
 
 
+def _safe_rnorm(acc: jax.Array) -> jax.Array:
+    """1/||acc|| with FINITE gradients at acc == 0 (returns 1/eps there).
+
+    `acc / max(norm(acc), eps)` has a NaN BACKWARD at zero accumulations:
+    d||x||/dx = x/||x|| is NaN at 0, and a zero cotangent times NaN is still
+    NaN — this bit batch_recover_mano's two-side `where` select, whose
+    unselected branch can hold zero normals yet still propagates its NaN
+    into the selected gradient. max() inside the sqrt clamps BEFORE the
+    non-differentiable point, so the backward is exactly zero there."""
+    n2 = jnp.sum(acc * acc, axis=-1, keepdims=True)
+    return jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+
+
 # dense corner-difference / incidence operators per faces array, keyed on the
 # faces bytes: D1/D2 [F, V] with entries {0, +-1} map verts to the two edge
 # vectors; A [V, F] counts vertex-in-face incidence. Bounded cache — faces
@@ -75,18 +88,18 @@ def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
     rounding (accumulation order differs). Large eval meshes (object
     surfaces) keep the scatter path — their dense operators would not fit."""
     num_v = verts.shape[-2]
-    faces_np = np.asarray(faces)
-    if num_v * faces_np.shape[0] <= _VN_DENSE_MAX and not isinstance(
-        faces, jax.core.Tracer
+    # Tracer check FIRST: np.asarray on a traced faces raises before any
+    # guard could route to the scatter path (which handles tracers fine)
+    if not isinstance(faces, jax.core.Tracer) and (
+        num_v * faces.shape[0] <= _VN_DENSE_MAX
     ):
-        d1, d2, a = _vn_dense_ops(faces_np, num_v)
+        d1, d2, a = _vn_dense_ops(np.asarray(faces), num_v)
         hi = jax.lax.Precision.HIGHEST
         e1 = jnp.einsum("fv,...vc->...fc", d1, verts, precision=hi)
         e2 = jnp.einsum("fv,...vc->...fc", d2, verts, precision=hi)
         fn = jnp.cross(e1, e2)
         acc = jnp.einsum("vf,...fc->...vc", a, fn, precision=hi)
-        norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
-        return acc / jnp.maximum(norm, 1e-12)
+        return acc * _safe_rnorm(acc)
 
     v0 = jnp.take(verts, faces[:, 0], axis=-2)
     v1 = jnp.take(verts, faces[:, 1], axis=-2)
@@ -102,8 +115,7 @@ def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
     lead = verts.shape[:-2]
     flat_fn = fn.reshape((-1,) + fn.shape[-2:])
     acc = jax.vmap(scatter)(flat_fn).reshape(lead + (num_v, 3))
-    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
-    return acc / jnp.maximum(norm, 1e-12)
+    return acc * _safe_rnorm(acc)
 
 
 def _sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:

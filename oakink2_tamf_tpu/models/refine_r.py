@@ -189,12 +189,12 @@ def multi_object_h2o_dist(
     backend: str = "auto",  # "exact" forces the platform's exact route
     # (data/target_cache's overflow fallback; see multi_object_h2o_overflow)
     interpret: bool = False,  # Pallas interpret mode (CPU tests)
-    frame_mask: jax.Array | None = None,  # [bs, L] LOSS-SIDE ONLY: mask-
-    # padded frames cull every tile on the cull route and come out BIG —
-    # callers must zero them (segment_refine_loss does). NEVER pass this on
-    # the network-input path (sample_h2o): the trunk keeps the reference's
-    # no-attention-mask contract, so padded-frame inputs must stay the real
-    # distances for checkpoint parity.
+    frame_mask: jax.Array | None = None,  # [bs, L]: mask-padded frames cull
+    # every tile on the cull route and come out BIG — callers must REPLACE
+    # them. Loss-side callers zero them (segment_refine_loss); the
+    # network-input path (sample_h2o) substitutes the reference-exact
+    # degenerate closed form instead — see sample_geometry, which owns that
+    # dedup. Do not read this function's padded-frame values directly.
 ) -> jax.Array:
     """Unsigned hand->object distances [bs, L, 778] (ref :142-168; the
     reference's point2point_signed signs only o2h, which this path discards —

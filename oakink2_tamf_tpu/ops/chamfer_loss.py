@@ -307,13 +307,11 @@ def _dist_loss_step(
         gxdh_ref[0, 2, :] = cfh * (xt[2] - yat_s[2, :])
 
 
-def _dist_loss_forward(
-    x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
-    sel_impl="mxu",
-):
-    """Run the fused kernel. Returns (v_rows [F,P2], dh_rows [F,P1],
-    gx_do [F,3,P1p], gx_dh [F,3,P1p]) — gx rows stay kernel-layout; the VJP
-    scales and transposes them once."""
+def _dl_plumbing(x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, y_group):
+    """Operand prep + the BlockSpec/shape plumbing SHARED by the plain and
+    region-culled forwards (one definition so the two pallas_calls can never
+    drift in contract — they differ only in kernel, first input and extra
+    scratch)."""
     xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
         x, y, y_valid, n, tile, y_group
     )
@@ -331,29 +329,19 @@ def _dist_loss_forward(
     hg = hg[:, None, :]  # [F, 1, P1p]
     vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
 
-    # [F, 1, 1] with a (1, 1, 1) block: TPU SMEM blocks must EQUAL the
-    # array's trailing dims (or be (8,128)-divisible) — a [F, 1]/(1, 1) spec
-    # fails Mosaic lowering on real TPU (it passes in interpret mode)
-    if x_valid is None:
-        vflag = jnp.ones((F, 1, 1), jnp.int32)
-    else:
-        vflag = x_valid.astype(jnp.int32).reshape(F, 1, 1)
-
     n_tiles = P2p // tile
-    grid = (F, n_tiles)
-    _ya_spec = pl.BlockSpec(
+    ya_spec = pl.BlockSpec(
         (1, 5, tile),
         (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
         memory_space=pltpu.VMEM,
     )
-    v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
-        functools.partial(_dist_loss_kernel, sel_impl=sel_impl),
-        grid=grid,
+    kw = dict(
+        grid=(F, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM),
+            # callers PREPEND their first (SMEM) spec
             pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            _ya_spec,
+            ya_spec,
             pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P1p), lambda f, c: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -376,8 +364,35 @@ def _dist_loss_forward(
             pltpu.VMEM((3, P1p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return (xa, xn, ya, og, hg, vw), (F, P1, P2, P1p, P2p, n_tiles), kw
+
+
+def _dist_loss_forward(
+    x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
+    sel_impl="mxu",
+):
+    """Run the fused kernel. Returns (v_rows [F,P2], dh_rows [F,P1],
+    gx_do [F,3,P1p], gx_dh [F,3,P1p]) — gx rows stay kernel-layout; the VJP
+    scales and transposes them once."""
+    (xa, xn, ya, og, hg, vw), (F, P1, P2, P1p, P2p, _), kw = _dl_plumbing(
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, y_group
+    )
+    # [F, 1, 1] with a (1, 1, 1) block: TPU SMEM blocks must EQUAL the
+    # array's trailing dims (or be (8,128)-divisible) — a [F, 1]/(1, 1) spec
+    # fails Mosaic lowering on real TPU (it passes in interpret mode)
+    if x_valid is None:
+        vflag = jnp.ones((F, 1, 1), jnp.int32)
+    else:
+        vflag = x_valid.astype(jnp.int32).reshape(F, 1, 1)
+    kw["in_specs"] = [
+        pl.BlockSpec((1, 1, 1), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM)
+    ] + kw["in_specs"]
+    v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
+        functools.partial(_dist_loss_kernel, sel_impl=sel_impl),
         cost_estimate=_cost(16 * F * P1p * P2p, xa, xn, ya, og, hg),
         interpret=interpret,
+        **kw,
     )(vflag, xa, xn, ya, og, hg, vw)
     return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
 
@@ -642,68 +657,26 @@ def _dist_loss_forward_cull(
     x, n, y, y_valid, o2h_g, h2o_g, vw2, x_valid, tile, interpret, y_group,
 ):
     """Region-culled twin of _dist_loss_forward (same outputs/contract)."""
-    xa, na, ya, (F, P1, P2, P1p, P2p, fb, Fp) = _prep_operands(
-        x, y, y_valid, n, tile, y_group
+    (xa, xn, ya, og, hg, vw), (F, P1, P2, P1p, P2p, n_tiles), kw = _dl_plumbing(
+        x, n, y, y_valid, o2h_g, h2o_g, vw2, tile, y_group
     )
-    assert fb == 1 and Fp == F
-    xn = jnp.concatenate([xa[:, 0:3, :] * -0.5, na[:, 0:3, :]], axis=1)
     R = P1p // REGION_ROWS
     mask = _region_cull_mask(x, y, y_valid, tile, y_group, P1p, x_valid)
-
-    og = o2h_g.astype(jnp.float32)
-    hg = h2o_g.astype(jnp.float32)
-    if P2p != P2:
-        og = jnp.pad(og, ((0, 0), (0, P2p - P2)))
-    if P1p != P1:
-        hg = jnp.pad(hg, ((0, 0), (0, P1p - P1)))
-    og = og[:, None, :]
-    hg = hg[:, None, :]
-    vw = jnp.pad(vw2.astype(jnp.float32), (0, P1p - P1))[None, None, :]
-
-    n_tiles = P2p // tile
-    grid = (F, n_tiles)
-    _ya_spec = pl.BlockSpec(
-        (1, 5, tile),
-        (lambda f, c: (f, 0, c)) if y_group == 1 else (lambda f, c: (f // y_group, 0, c)),
-        memory_space=pltpu.VMEM,
-    )
+    kw["in_specs"] = [
+        pl.BlockSpec((1, R, n_tiles), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM)
+    ] + kw["in_specs"]
+    kw["scratch_shapes"] = kw["scratch_shapes"] + [
+        pltpu.VMEM((1, tile), jnp.float32),
+        pltpu.VMEM((1, tile), jnp.int32),
+        pltpu.VMEM((6, tile), jnp.float32),
+    ]
     v_rows, dh_rows, gx_do, gx_dh = pl.pallas_call(
         _dist_loss_cull_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, R, n_tiles), lambda f, c: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 5, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            _ya_spec,
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, tile), lambda f, c: (f, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P1p), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((F, 1, P2p), jnp.float32),
-            jax.ShapeDtypeStruct((F, 1, P1p), jnp.float32),
-            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
-            jax.ShapeDtypeStruct((F, 3, P1p), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, P1p), jnp.float32),
-            pltpu.VMEM((3, P1p), jnp.float32),
-            pltpu.VMEM((3, P1p), jnp.float32),
-            pltpu.VMEM((1, tile), jnp.float32),
-            pltpu.VMEM((1, tile), jnp.int32),
-            pltpu.VMEM((6, tile), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         # cost: worst case (XLA can't see the data-dependent cull rate); the
         # MXU floor is ~1/3 of the uncull kernel's 16*F*P1p*P2p
         cost_estimate=_cost(6 * F * P1p * P2p, xa, xn, ya, og, hg),
         interpret=interpret,
+        **kw,
     )(mask, xa, xn, ya, og, hg, vw)
     return v_rows[:, 0, :P2], dh_rows[:, 0, :P1], gx_do, gx_dh
 

@@ -27,6 +27,42 @@ def test_vertex_normals_batched():
         np.testing.assert_allclose(np.asarray(n[i]), np.asarray(ni), atol=1e-6)
 
 
+def test_vertex_normals_zero_acc_grad_finite():
+    """A vertex whose incident face normals cancel (or that no face touches)
+    accumulates a ZERO normal; the backward must stay finite. The naive
+    acc/max(||acc||, eps) normalize NaN'd there (d||x||/dx is NaN at 0, and
+    zero-cotangent x NaN = NaN) — this bit batch_recover_mano's two-side
+    `where` select through its UNSELECTED branch and poisoned real G
+    gradients on mixed-handed batches (caught by the slow fused-vs-composed
+    e2e; kept fast here)."""
+    import jax
+
+    # two coincident opposite-winding triangles -> vertex normals cancel;
+    # vertex 3 untouched by any face -> zero accumulation as well
+    verts0 = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], np.float32
+    )
+    faces = jnp.asarray(np.array([[0, 1, 2], [0, 2, 1]], np.int32))
+
+    def loss(v):
+        return jnp.sum(G.vertex_normals(v, faces) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(verts0))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # batched (dense-operator path stays under _VN_DENSE_MAX) and through a
+    # jnp.where select with a zero cotangent on the branch holding the zeros
+    vb = jnp.asarray(np.stack([verts0, verts0 + 1.0]))
+
+    def loss_where(v):
+        n = G.vertex_normals(v, faces)
+        sel = jnp.where(jnp.asarray([True, False])[:, None, None], n, 0.0)
+        return jnp.sum(sel ** 2)
+
+    g2 = jax.grad(loss_where)(vb)
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
 def naive_signed(x, y, xn):
     """Direct numpy mirror of the reference point2point_signed (chamfer wrapper)."""
     N, P1, _ = x.shape
